@@ -1,0 +1,155 @@
+"""BVH build + stackless traversal vs brute-force oracle
+(SURVEY.md §7.2 step 3: validate against all-triangles oracle)."""
+import jax.numpy as jnp
+import numpy as np
+
+from eidola_tpu.ops.bvh import BVH, build_bvh, closest_hit, any_hit
+from eidola_tpu.ops.intersect import brute_force_closest, ray_triangle, safe_inv_dir, ray_aabb
+
+
+def _random_tris(n, seed=0, spread=4.0, size=0.5):
+    r = np.random.default_rng(seed)
+    base = r.uniform(-spread, spread, size=(n, 1, 3))
+    offs = r.uniform(-size, size, size=(n, 3, 3))
+    tris = (base + offs).astype(np.float32)
+    return tris[:, 0], tris[:, 1], tris[:, 2]
+
+
+def _random_rays(n, seed=1, spread=6.0):
+    r = np.random.default_rng(seed)
+    o = r.uniform(-spread, spread, size=(n, 3)).astype(np.float32)
+    d = r.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+class TestIntersectPrims:
+    def test_ray_triangle_basic(self):
+        o = jnp.asarray([[0.0, 0.0, -1.0]])
+        d = jnp.asarray([[0.0, 0.0, 1.0]])
+        v0 = jnp.asarray([[-1.0, -1.0, 0.0]])
+        e1 = jnp.asarray([[2.0, 0.0, 0.0]])
+        e2 = jnp.asarray([[0.0, 2.0, 0.0]])
+        hit, t, u, v = ray_triangle(
+            o, d, v0, e1, e2, jnp.asarray([0.0]), jnp.asarray([10.0])
+        )
+        assert bool(hit[0]) and abs(float(t[0]) - 1.0) < 1e-6
+
+    def test_ray_triangle_backface_hits(self):
+        # double-sided by default (ref accelstruct.cpp:150-156 cull disable)
+        o = jnp.asarray([[0.0, 0.0, 1.0]])
+        d = jnp.asarray([[0.0, 0.0, -1.0]])
+        v0 = jnp.asarray([[-1.0, -1.0, 0.0]])
+        e1 = jnp.asarray([[2.0, 0.0, 0.0]])
+        e2 = jnp.asarray([[0.0, 2.0, 0.0]])
+        hit, *_ = ray_triangle(o, d, v0, e1, e2, jnp.asarray([0.0]), jnp.asarray([10.0]))
+        assert bool(hit[0])
+
+    def test_degenerate_triangle_never_hits(self):
+        o = jnp.asarray([[0.0, 0.0, -1.0]])
+        d = jnp.asarray([[0.0, 0.0, 1.0]])
+        z = jnp.zeros((1, 3))
+        hit, *_ = ray_triangle(o, d, z, z, z, jnp.asarray([0.0]), jnp.asarray([10.0]))
+        assert not bool(hit[0])
+
+    def test_ray_aabb(self):
+        o = jnp.asarray([[0.0, 0.0, -5.0], [0.0, 5.0, -5.0]])
+        d = jnp.asarray([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]])
+        hit, _ = ray_aabb(
+            o,
+            safe_inv_dir(d),
+            jnp.zeros(2),
+            jnp.full(2, 100.0),
+            jnp.asarray([[-1.0, -1.0, -1.0]]),
+            jnp.asarray([[1.0, 1.0, 1.0]]),
+        )
+        assert bool(hit[0]) and not bool(hit[1])
+
+    def test_ray_inside_aabb(self):
+        o = jnp.asarray([[0.0, 0.0, 0.0]])
+        d = jnp.asarray([[1.0, 0.0, 0.0]])
+        hit, _ = ray_aabb(
+            o, safe_inv_dir(d), jnp.zeros(1), jnp.full(1, 100.0),
+            jnp.asarray([[-1.0, -1.0, -1.0]]), jnp.asarray([[1.0, 1.0, 1.0]]),
+        )
+        assert bool(hit[0])
+
+
+class TestBVH:
+    def _check_matches_oracle(self, ntris, nrays, seed):
+        a, b, c = _random_tris(ntris, seed=seed)
+        bvh = build_bvh(a, b, c)
+        o, d = _random_rays(nrays, seed=seed + 1)
+        tmin = jnp.zeros(nrays)
+        tmax = jnp.full(nrays, 1e9)
+
+        rec = closest_hit(bvh, o, d, tmin, tmax)
+        v0 = jnp.asarray(a)
+        e1 = jnp.asarray(b - a)
+        e2 = jnp.asarray(c - a)
+        otri, ot, ou, ov = brute_force_closest(o, d, v0, e1, e2, tmin, tmax)
+
+        hits = np.asarray(otri) >= 0
+        np.testing.assert_array_equal(np.asarray(rec.tri) >= 0, hits)
+        # distances must agree everywhere (tri ids can differ only on exact ties)
+        np.testing.assert_allclose(
+            np.asarray(rec.t)[hits], np.asarray(ot)[hits], rtol=1e-4
+        )
+        same = np.asarray(rec.tri)[hits] == np.asarray(otri)[hits]
+        assert same.mean() > 0.99
+
+    def test_small_scene(self):
+        self._check_matches_oracle(10, 256, seed=3)
+
+    def test_medium_scene(self):
+        self._check_matches_oracle(500, 512, seed=4)
+
+    def test_non_pow2_padding(self):
+        self._check_matches_oracle(37, 128, seed=5)
+
+    def test_single_triangle(self):
+        a = np.asarray([[-1.0, -1.0, 0.0]], np.float32)
+        b = np.asarray([[1.0, -1.0, 0.0]], np.float32)
+        c = np.asarray([[0.0, 1.0, 0.0]], np.float32)
+        bvh = build_bvh(a, b, c)
+        o = jnp.asarray([[0.0, 0.0, -2.0], [5.0, 5.0, -2.0]])
+        d = jnp.asarray([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]])
+        rec = closest_hit(bvh, o, d, jnp.zeros(2), jnp.full(2, 100.0))
+        assert int(rec.tri[0]) == 0 and int(rec.tri[1]) == -1
+        assert abs(float(rec.t[0]) - 2.0) < 1e-5
+
+    def test_any_hit_occlusion(self):
+        a, b, c = _random_tris(200, seed=7)
+        bvh = build_bvh(a, b, c)
+        o, d = _random_rays(256, seed=8)
+        tmin = jnp.zeros(256)
+        tmax = jnp.full(256, 1e9)
+        occ = any_hit(bvh, o, d, tmin, tmax)
+        rec = closest_hit(bvh, o, d, tmin, tmax)
+        np.testing.assert_array_equal(np.asarray(occ), np.asarray(rec.tri) >= 0)
+
+    def test_tmax_respected(self):
+        a = np.asarray([[-1.0, -1.0, 5.0]], np.float32)
+        b = np.asarray([[1.0, -1.0, 5.0]], np.float32)
+        c = np.asarray([[0.0, 1.0, 5.0]], np.float32)
+        bvh = build_bvh(a, b, c)
+        o = jnp.asarray([[0.0, 0.0, 0.0]])
+        d = jnp.asarray([[0.0, 0.0, 1.0]])
+        near = closest_hit(bvh, o, d, jnp.zeros(1), jnp.asarray([2.0]))
+        far = closest_hit(bvh, o, d, jnp.zeros(1), jnp.asarray([10.0]))
+        assert int(near.tri[0]) == -1 and int(far.tri[0]) == 0
+
+    def test_barycentrics_reconstruct_point(self):
+        a, b, c = _random_tris(64, seed=9)
+        bvh = build_bvh(a, b, c)
+        o, d = _random_rays(128, seed=10)
+        rec = closest_hit(bvh, o, d, jnp.zeros(128), jnp.full(128, 1e9))
+        m = np.asarray(rec.tri) >= 0
+        if m.sum() == 0:
+            return
+        tri = np.asarray(rec.tri)[m]
+        u = np.asarray(rec.u)[m][:, None]
+        v = np.asarray(rec.v)[m][:, None]
+        p_tri = a[tri] * (1 - u - v) + b[tri] * u + c[tri] * v
+        p_ray = np.asarray(o)[m] + np.asarray(d)[m] * np.asarray(rec.t)[m][:, None]
+        np.testing.assert_allclose(p_tri, p_ray, atol=1e-3)
