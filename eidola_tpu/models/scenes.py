@@ -1,0 +1,202 @@
+"""Procedural demo scenes + scene registry.
+
+The reference's demo assets are downloaded glTF files (ref CMakeLists.txt:
+51-52); since this environment is offline we provide procedural stand-ins
+covering the same feature axes: emissive area lights (cornell), punctual
+lights, sun&sky outdoor, textured materials, and high-triangle-count stress
+scenes.  `load_scene(name)` is the front door; glTF paths also resolve here.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..scene.camera import Camera, make_camera
+from ..scene.data import SceneData, default_sunsky, upload_scene
+
+_FACES = [
+    (0, 1, 3), (0, 3, 2), (4, 6, 7), (4, 7, 5),
+    (0, 4, 5), (0, 5, 1), (2, 3, 7), (2, 7, 6),
+    (0, 2, 6), (0, 6, 4), (1, 5, 7), (1, 7, 3),
+]
+
+
+def box_tris(center, half):
+    """12 triangles of an axis-aligned box, outward winding."""
+    c = np.asarray(center, np.float32)
+    h = np.asarray(half, np.float32)
+    corners = (
+        np.array(
+            [[x, y, z] for x in (-1, 1) for y in (-1, 1) for z in (-1, 1)],
+            np.float32,
+        )
+        * h
+        + c
+    )
+    return np.stack([corners[list(f)] for f in _FACES])  # (12, 3, 3)
+
+
+def quad_tris(p0, p1, p2, p3):
+    """Two triangles for quad p0-p1-p2-p3 (ccw)."""
+    p = [np.asarray(x, np.float32) for x in (p0, p1, p2, p3)]
+    return np.stack([np.stack([p[0], p[1], p[2]]), np.stack([p[0], p[2], p[3]])])
+
+
+def uv_sphere(center, radius, n_lat=16, n_lon=24):
+    """Triangulated UV sphere."""
+    c = np.asarray(center, np.float32)
+    lat = np.linspace(0, np.pi, n_lat + 1)
+    lon = np.linspace(0, 2 * np.pi, n_lon + 1)
+    pts = np.stack(
+        [
+            np.outer(np.sin(lat), np.cos(lon)),
+            np.outer(np.cos(lat), np.ones_like(lon)),
+            np.outer(np.sin(lat), np.sin(lon)),
+        ],
+        axis=-1,
+    )  # (n_lat+1, n_lon+1, 3)
+    v = c + radius * pts
+    tris = []
+    for i in range(n_lat):
+        for j in range(n_lon):
+            a, b = v[i, j], v[i, j + 1]
+            d, e = v[i + 1, j], v[i + 1, j + 1]
+            if i > 0:
+                tris.append(np.stack([a, b, d]))
+            if i < n_lat - 1:
+                tris.append(np.stack([b, e, d]))
+    return np.stack(tris).astype(np.float32)
+
+
+def _concat(parts):
+    tris = np.concatenate([p for p, _ in parts])
+    mats = np.concatenate(
+        [np.full(p.shape[0], m, np.int32) for p, m in parts]
+    )
+    return tris, mats
+
+
+def cornell_box(light_scale: float = 1.0):
+    """Cornell-style box with an emissive ceiling quad — exercises area-light
+    NEE, ReSTIR DI and GI colour bleeding."""
+    white = {"base_color": [0.73, 0.73, 0.73, 1.0], "roughness": 0.9}
+    red = {"base_color": [0.65, 0.05, 0.05, 1.0], "roughness": 0.9}
+    green = {"base_color": [0.12, 0.45, 0.15, 1.0], "roughness": 0.9}
+    metal = {"base_color": [0.8, 0.8, 0.85, 1.0], "metallic": 0.9, "roughness": 0.15}
+    light = {
+        "base_color": [1, 1, 1, 1],
+        "emissive": [17.0 * light_scale, 12.0 * light_scale, 4.0 * light_scale],
+    }
+    s = 1.0  # half-extent
+    parts = [
+        (quad_tris([-s, 0, -s], [s, 0, -s], [s, 0, s], [-s, 0, s]), 0),           # floor
+        (quad_tris([-s, 2 * s, s], [s, 2 * s, s], [s, 2 * s, -s], [-s, 2 * s, -s]), 0),  # ceiling
+        (quad_tris([-s, 0, -s], [-s, 2 * s, -s], [s, 2 * s, -s], [s, 0, -s]), 0),  # back
+        (quad_tris([-s, 0, s], [-s, 2 * s, s], [-s, 2 * s, -s], [-s, 0, -s]), 1),  # left red
+        (quad_tris([s, 0, -s], [s, 2 * s, -s], [s, 2 * s, s], [s, 0, s]), 2),      # right green
+        (box_tris([-0.35, 0.6, -0.3], [0.28, 0.6, 0.28]), 3),                      # tall metal box
+        (box_tris([0.4, 0.25, 0.35], [0.25, 0.25, 0.25]), 0),                      # short box
+        (quad_tris([-0.4, 1.98, 0.4], [0.4, 1.98, 0.4], [0.4, 1.98, -0.4], [-0.4, 1.98, -0.4]), 4),  # light
+    ]
+    tris, mats = _concat(parts)
+    scene = upload_scene(
+        tris[:, 0], tris[:, 1], tris[:, 2],
+        mat_ids=mats,
+        materials=[white, red, green, metal, light],
+        sunsky=default_sunsky()._replace(enabled=np.int32(0)),
+    )
+    cam = make_camera(eye=[0, 1.0, 3.6], center=[0, 1.0, 0], fovy_deg=45.0)
+    return scene, cam
+
+
+def boxes_sunsky():
+    """Outdoor boxes under procedural sun & sky — exercises env lighting,
+    BASELINE config[0] analog (sun_and_sky only, no area lights)."""
+    ground = {"base_color": [0.55, 0.55, 0.5, 1.0], "roughness": 0.95}
+    blue = {"base_color": [0.2, 0.3, 0.8, 1.0], "roughness": 0.4}
+    gold = {"base_color": [1.0, 0.77, 0.34, 1.0], "metallic": 1.0, "roughness": 0.25}
+    parts = [
+        (quad_tris([-8, 0, -8], [8, 0, -8], [8, 0, 8], [-8, 0, 8]), 0),
+        (box_tris([-0.9, 1.0, 0], [0.5, 1.0, 0.5]), 1),
+        (box_tris([0.9, 0.5, 0.4], [0.5, 0.5, 0.5]), 2),
+        (uv_sphere([0.1, 0.45, -1.2], 0.45), 1),
+    ]
+    tris, mats = _concat(parts)
+    scene = upload_scene(
+        tris[:, 0], tris[:, 1], tris[:, 2],
+        mat_ids=mats,
+        materials=[ground, blue, gold],
+    )
+    cam = make_camera(eye=[0, 1.6, 4.5], center=[0, 0.8, 0], fovy_deg=50.0)
+    return scene, cam
+
+
+def punctual_demo():
+    """Point + spot lights, no env — BASELINE config[1] analog (Corset +
+    punctual lights with ReSTIR DI)."""
+    white = {"base_color": [0.8, 0.8, 0.8, 1.0], "roughness": 0.7}
+    shiny = {"base_color": [0.9, 0.4, 0.3, 1.0], "metallic": 0.3, "roughness": 0.3}
+    parts = [
+        (quad_tris([-4, 0, -4], [4, 0, -4], [4, 0, 4], [-4, 0, 4]), 0),
+        (quad_tris([-4, 0, -2.5], [-4, 4, -2.5], [4, 4, -2.5], [4, 0, -2.5]), 0),
+        (uv_sphere([-0.8, 0.6, 0], 0.6), 1),
+        (box_tris([0.9, 0.5, 0.3], [0.45, 0.5, 0.45]), 0),
+    ]
+    tris, mats = _concat(parts)
+    punctual = {
+        "pos": np.asarray([[2.0, 3.0, 2.0], [-2.5, 2.0, 1.0]], np.float32),
+        "color": np.asarray([[60.0, 55.0, 50.0], [20.0, 30.0, 60.0]], np.float32),
+        "type": np.asarray([0, 0], np.int32),
+    }
+    scene = upload_scene(
+        tris[:, 0], tris[:, 1], tris[:, 2],
+        mat_ids=mats,
+        materials=[white, shiny],
+        punctual=punctual,
+        sunsky=default_sunsky()._replace(enabled=np.int32(0)),
+    )
+    cam = make_camera(eye=[0, 1.5, 4.0], center=[0, 0.7, 0], fovy_deg=50.0)
+    return scene, cam
+
+
+def stress_grid(n: int = 12):
+    """n^3-sphere grid under sun&sky — triangle-count stress scene for the
+    tracer benchmarks (Bistro stand-in)."""
+    rng = np.random.default_rng(0)
+    parts = [(quad_tris([-40, 0, -40], [40, 0, -40], [40, 0, 40], [-40, 0, 40]), 0)]
+    for i in range(n):
+        for j in range(n):
+            x = (i - n / 2) * 2.2
+            z = (j - n / 2) * 2.2
+            r = 0.4 + 0.5 * rng.random()
+            parts.append((uv_sphere([x, r, z], r, n_lat=10, n_lon=14), 1 + (i + j) % 2))
+    tris, mats = _concat(parts)
+    mats_list = [
+        {"base_color": [0.5, 0.5, 0.5, 1], "roughness": 0.9},
+        {"base_color": [0.7, 0.3, 0.2, 1], "roughness": 0.4},
+        {"base_color": [0.9, 0.85, 0.6, 1], "metallic": 0.8, "roughness": 0.3},
+    ]
+    scene = upload_scene(
+        tris[:, 0], tris[:, 1], tris[:, 2], mat_ids=mats, materials=mats_list
+    )
+    cam = make_camera(eye=[0, 6.0, 18.0], center=[0, 1.0, 0], fovy_deg=55.0)
+    return scene, cam
+
+
+_REGISTRY = {
+    "cornell": cornell_box,
+    "boxes": boxes_sunsky,
+    "punctual": punctual_demo,
+    "stress": stress_grid,
+}
+
+
+def load_scene(name: str, **kwargs) -> tuple[SceneData, Camera]:
+    """Scene front door: registry name or a .gltf/.glb path
+    (ref SampleExample::loadScene, sample_example.cpp:82-92)."""
+    if name.endswith((".gltf", ".glb")):
+        from ..scene.gltf import load_gltf_scene
+
+        return load_gltf_scene(name, **kwargs)
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown scene '{name}'; have {sorted(_REGISTRY)}")
+    return _REGISTRY[name](**kwargs)

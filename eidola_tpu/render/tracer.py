@@ -1,0 +1,244 @@
+"""Wavefront unidirectional path tracer: NEE + MIS power heuristic + Russian
+roulette (ref shaders/indirect_stage.comp:129-226 pathTraceIndirect and the
+direct-stage shading path).
+
+This is the estimator core.  The standalone `trace_radiance` renders
+ground-truth images (used for golden tests and as the oracle for the ReSTIR
+stages); the indirect GI stage drives the same per-bounce machinery from
+G-buffer-reconstructed first hits.
+
+TPU shape: the bounce loop is a static python loop (max_depth is compile
+time); every lane stays resident — terminated lanes are masked, not
+compacted (compaction is a later optimization; SURVEY §5.7 wavefront note).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..ops import rng as erng
+from ..ops.bvh import any_hit, closest_hit
+from ..ops.math import (
+    dot3,
+    make_frame,
+    normalize,
+    offset_ray,
+    power_heuristic,
+    to_local,
+    to_world,
+)
+from ..scene.data import SceneData
+from .bsdf import eval_bsdf, pdf_bsdf, sample_bsdf
+from .config import RenderConfig, RenderParams
+from .pathtrace import (
+    env_pdf_dir,
+    env_radiance,
+    env_selection_prob,
+    light_pdf_for_bsdf_dir,
+    sample_direct_light,
+)
+from .shade_state import State, get_state
+
+_TMIN = 1e-4
+_TMAX = 1e8
+
+
+class PathVertex(NamedTuple):
+    """First-bounce record the ReSTIR GI stage needs (ref GISample
+    host_device.h:260-284: xv/nv implicit from G-buffer, xs/ns here)."""
+    xs: jnp.ndarray     # (..., 3) first secondary hit position
+    ns: jnp.ndarray     # (..., 3) its normal
+    valid: jnp.ndarray  # (...,) bool
+
+
+def nee_contribution(cfg: RenderConfig, scene: SceneData, params: RenderParams,
+                     state: State, wo, rng_state):
+    """One next-event-estimation sample at `state` with shadow ray + MIS
+    (ref pathtrace.glsl:185-220).  Returns (rng, contribution (..., 3))."""
+    lanes = state.pos.reshape(-1, 3)
+    rng_state, ls = sample_direct_light(cfg, scene, params, state.pos, rng_state)
+
+    t, b = make_frame(state.nrm)
+    wo_l = to_local(t, b, state.nrm, wo)
+    wi_l = to_local(t, b, state.nrm, ls.wi)
+    f = eval_bsdf(state.bsdf(), wo_l, wi_l)
+    cos_i = jnp.maximum(wi_l[..., 2], 0.0)
+
+    contrib_ok = state.valid & (ls.pdf > 1e-12) & (cos_i > 0.0)
+    origin = offset_ray(state.pos, jnp.where(
+        dot3(state.geo_nrm, ls.wi)[..., None] >= 0, state.geo_nrm, -state.geo_nrm))
+    occluded = any_hit(
+        scene.bvh,
+        origin.reshape(-1, 3),
+        ls.wi.reshape(-1, 3),
+        jnp.full(lanes.shape[0], _TMIN),
+        (ls.dist * 0.999).reshape(-1),
+        max_steps=cfg.traversal_max_steps,
+    ).reshape(state.valid.shape)
+
+    if cfg.use_mis:
+        bsdf_pdf_wi = pdf_bsdf(state.bsdf(), wo_l, wi_l)
+        w = jnp.where(ls.delta, 1.0, power_heuristic(ls.pdf, bsdf_pdf_wi))
+    else:
+        w = jnp.ones_like(ls.pdf)
+
+    contrib = (
+        ls.li
+        * f
+        * (cos_i * w / jnp.maximum(ls.pdf, 1e-12))[..., None]
+    )
+    contrib = jnp.where(
+        (contrib_ok & ~occluded)[..., None], contrib, 0.0
+    )
+    return rng_state, contrib
+
+
+def trace_radiance(
+    cfg: RenderConfig,
+    scene: SceneData,
+    params: RenderParams,
+    o,
+    d,
+    rng_state,
+    num_bounces: int | None = None,
+    collect_first_vertex: bool = False,
+    start_state: State | None = None,
+    start_wo=None,
+):
+    """Trace radiance along rays (o, d): flat or image-shaped lanes.
+
+    If `start_state` is given, the path starts AT that surface (the GI
+    stage's G-buffer reconstruction, ref pathtrace.glsl:296-360) and (o, d)
+    are ignored for the first segment; `start_wo` is the direction back
+    toward the camera.
+
+    Returns (rng_state, radiance, PathVertex|None).
+    """
+    depth_total = num_bounces if num_bounces is not None else cfg.max_depth
+    shape = (start_state.valid.shape if start_state is not None else d.shape[:-1])
+    R = 1
+    for s in shape:
+        R *= s
+
+    radiance = jnp.zeros(shape + (3,), jnp.float32)
+    throughput = jnp.ones(shape + (3,), jnp.float32)
+    alive = jnp.ones(shape, bool)
+    last_bsdf_pdf = jnp.zeros(shape, jnp.float32)
+
+    first_xs = jnp.zeros(shape + (3,), jnp.float32)
+    first_ns = jnp.zeros(shape + (3,), jnp.float32)
+    first_ok = jnp.zeros(shape, bool)
+
+    state = start_state
+    wo = start_wo
+    cur_o, cur_d = o, d
+
+    for depth in range(depth_total + 1):
+        if depth == 0 and state is not None:
+            pass  # start from the provided surface
+        else:
+            rec = closest_hit(
+                scene.bvh,
+                cur_o.reshape(-1, 3),
+                cur_d.reshape(-1, 3),
+                jnp.full(R, _TMIN),
+                jnp.full(R, _TMAX),
+                max_steps=cfg.traversal_max_steps,
+            )
+            tri = rec.tri.reshape(shape)
+            state = get_state(
+                scene, cur_o, cur_d, tri, rec.t.reshape(shape),
+                rec.u.reshape(shape), rec.v.reshape(shape),
+            )
+            wo = -cur_d
+
+            escaped = alive & ~state.valid
+            env = env_radiance(cfg, scene, params, cur_d)
+            if cfg.use_mis and cfg.use_nee and depth > 0:
+                lp = env_pdf_dir(cfg, scene, cur_d) * env_selection_prob(
+                    cfg, scene, params
+                )
+                w_env = power_heuristic(last_bsdf_pdf, lp)
+            elif cfg.use_nee and depth > 0:
+                # NEE-only estimator: drop BSDF-found light to avoid double count
+                w_env = jnp.zeros(shape, jnp.float32)
+            else:
+                w_env = jnp.ones(shape, jnp.float32)
+            radiance = radiance + jnp.where(
+                escaped[..., None], throughput * env * w_env[..., None], 0.0
+            )
+
+            # emitter hit (ref indirect_stage.comp:180-216)
+            hit_em = alive & state.valid
+            emission = state.emission
+            if cfg.use_mis and cfg.use_nee and depth > 0:
+                cos_l = jnp.abs(dot3(state.geo_nrm, wo))
+                lp = light_pdf_for_bsdf_dir(
+                    cfg, scene, params, cur_d, tri, rec.t.reshape(shape), cos_l
+                )
+                w_em = power_heuristic(last_bsdf_pdf, lp)
+            elif cfg.use_nee and depth > 0:
+                # NEE-only: count emitter hits only for lights NEE can't find
+                w_em = jnp.where(
+                    scene.tri_light_pmf[jnp.maximum(tri, 0)] > 0.0, 0.0, 1.0
+                )
+            else:
+                w_em = jnp.ones(shape, jnp.float32)
+            radiance = radiance + jnp.where(
+                hit_em[..., None], throughput * emission * w_em[..., None], 0.0
+            )
+
+            if collect_first_vertex and depth == 1:
+                first_ok = state.valid & alive
+                first_xs = jnp.where(first_ok[..., None], state.pos, 0.0)
+                first_ns = jnp.where(first_ok[..., None], state.nrm, 0.0)
+
+            alive = alive & state.valid
+
+        if depth == depth_total:
+            break
+
+        # NEE at this vertex (ref indirect_stage.comp:143-153)
+        if cfg.use_nee:
+            rng_state, contrib = nee_contribution(
+                cfg, scene, params, state, wo, rng_state
+            )
+            radiance = radiance + jnp.where(
+                alive[..., None], throughput * contrib, 0.0
+            )
+
+        # BSDF sample to continue (ref pbr_metallicworkflow Sample)
+        rng_state, u1 = erng.rand(rng_state)
+        rng_state, u2 = erng.rand(rng_state)
+        rng_state, u3 = erng.rand(rng_state)
+        t, b = make_frame(state.nrm)
+        wo_l = to_local(t, b, state.nrm, wo)
+        wi_l, pdf, f = sample_bsdf(state.bsdf(), wo_l, u1, u2, u3)
+        wi = to_world(t, b, state.nrm, wi_l)
+        cos_i = jnp.maximum(wi_l[..., 2], 0.0)
+        ok = alive & (pdf > 1e-9) & (cos_i > 0.0)
+        throughput = jnp.where(
+            ok[..., None], throughput * f * (cos_i / jnp.maximum(pdf, 1e-9))[..., None], throughput
+        )
+        alive = ok
+        last_bsdf_pdf = pdf
+
+        # Russian roulette (ref indirect_stage.comp:218-224)
+        if cfg.russian_roulette and depth >= cfg.rr_depth:
+            rng_state, u_rr = erng.rand(rng_state)
+            p_cont = jnp.clip(jnp.max(throughput, axis=-1), 0.05, 1.0)
+            survive = u_rr < p_cont
+            throughput = jnp.where(
+                (alive & survive)[..., None], throughput / p_cont[..., None], throughput
+            )
+            alive = alive & survive
+
+        cur_o = offset_ray(
+            state.pos,
+            jnp.where(dot3(state.geo_nrm, wi)[..., None] >= 0, state.geo_nrm, -state.geo_nrm),
+        )
+        cur_d = wi
+
+    vert = PathVertex(xs=first_xs, ns=first_ns, valid=first_ok) if collect_first_vertex else None
+    return rng_state, radiance, vert

@@ -1,0 +1,366 @@
+"""Device-side scene representation + host->device upload.
+
+TPU-native equivalent of Scene's GPU buffers (ref src/scene.cpp:179-289:
+vertex/index SSBOs, material SSBO, instance SSBO, light SSBOs).  Instead of
+per-mesh buffers addressed through buffer_device_address, everything is
+flattened at load into world-space per-triangle SoA arrays — one gather by
+triangle id replaces the reference's instance->primMesh->vertex indirection
+chain (shade_state.glsl:63-221).  Per-vertex normals/tangents keep the
+reference's octahedral u32 compression (scene.cpp:236-257) because shading
+decodes them on the VPU for free and it quarters the gather bandwidth.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import octahedral as octa
+from ..ops.alias_table import AliasTable, make_alias_table
+from ..ops.bvh import BVH, build_bvh
+
+ALPHA_OPAQUE = 0
+ALPHA_MASK = 1
+ALPHA_BLEND = 2
+
+LIGHT_POINT = 0
+LIGHT_DIRECTIONAL = 1
+LIGHT_SPOT = 2
+
+
+class Materials(NamedTuple):
+    """SoA material table (ref GltfShadeMaterial, host_device.h:183-204)."""
+    base_color: jnp.ndarray      # (M, 4) f32 factor (rgba)
+    emissive: jnp.ndarray        # (M, 3) f32
+    metallic: jnp.ndarray        # (M,) f32
+    roughness: jnp.ndarray       # (M,) f32
+    ior: jnp.ndarray             # (M,) f32
+    transmission: jnp.ndarray    # (M,) f32
+    base_tex: jnp.ndarray        # (M,) i32 texture id or -1
+    mr_tex: jnp.ndarray          # (M,) i32
+    normal_tex: jnp.ndarray      # (M,) i32
+    emissive_tex: jnp.ndarray    # (M,) i32
+    alpha_mode: jnp.ndarray      # (M,) i32
+    alpha_cutoff: jnp.ndarray    # (M,) f32
+    double_sided: jnp.ndarray    # (M,) i32
+
+
+class TexStack(NamedTuple):
+    """Padded texture array stack: uniform-shape gather target
+    (replaces per-texture Vulkan samplers, ref scene.cpp:554-646)."""
+    data: jnp.ndarray   # (NT, TH, TW, 4) f32 linear RGBA
+    size: jnp.ndarray   # (NT, 2) i32 (h, w) actual extent
+
+
+class Lights(NamedTuple):
+    """Punctual + emissive-triangle light sets with alias tables
+    (ref scene.cpp:319-409, 700-772; host_device.h:295-333)."""
+    punc_pos: jnp.ndarray        # (L, 3) f32
+    punc_color: jnp.ndarray      # (L, 3) f32 intensity-scaled
+    punc_dir: jnp.ndarray        # (L, 3) f32
+    punc_type: jnp.ndarray       # (L,) i32
+    punc_range: jnp.ndarray      # (L,) f32 (0 = unbounded)
+    punc_cos_inner: jnp.ndarray  # (L,) f32 spot inner cone cos
+    punc_cos_outer: jnp.ndarray  # (L,) f32
+    punc_table: AliasTable
+    num_punc: jnp.ndarray        # () i32 actual count (arrays are padded)
+    trig_v0: jnp.ndarray         # (TL, 3) f32 world-space emissive triangles
+    trig_v1: jnp.ndarray
+    trig_v2: jnp.ndarray
+    trig_emission: jnp.ndarray   # (TL, 3) f32 radiance
+    trig_table: AliasTable
+    num_trig: jnp.ndarray        # () i32
+    trig_samp_prob: jnp.ndarray  # () f32 P(sample triangle | not env)
+                                 # (ref LightBufInfo.trigSampProb, scene.cpp:101-105)
+
+
+class EnvMap(NamedTuple):
+    """HDR environment + solid-angle-weighted alias map
+    (ref src/hdr_sampling.cpp:107-242)."""
+    image: jnp.ndarray     # (He, We, 3) f32 linear radiance
+    table: AliasTable      # over He*We texels
+    integral: jnp.ndarray  # () f32 luminance integral over the sphere
+    average: jnp.ndarray   # () f32 average luminance
+
+
+class SunSkyParams(NamedTuple):
+    """Procedural sun & sky configuration (ref SunAndSky, host_device.h:353-376;
+    defaults sample_example.hpp:186-203)."""
+    sun_direction: jnp.ndarray   # (3,) f32 unit, toward the sun
+    sun_intensity: jnp.ndarray   # () f32
+    sun_angular_radius: jnp.ndarray  # () f32 radians
+    turbidity: jnp.ndarray       # () f32
+    ground_color: jnp.ndarray    # (3,) f32
+    sky_tint: jnp.ndarray        # (3,) f32 multiplier
+    enabled: jnp.ndarray         # () i32
+
+
+class SceneData(NamedTuple):
+    """Everything the jitted frame function needs, as one pytree."""
+    bvh: BVH
+    tri_gn: jnp.ndarray        # (T,) u32 packed geometric normal
+    tri_nrm: jnp.ndarray       # (T, 3) u32 packed per-vertex oct normals
+    tri_uv: jnp.ndarray        # (T, 3, 2) f32
+    tri_tangent: jnp.ndarray   # (T, 3) u32 packed per-vertex oct tangents
+    tri_hand: jnp.ndarray      # (T, 3) f32 tangent handedness +-1
+    tri_color: jnp.ndarray     # (T, 3) u32 packed vertex colours (unorm4x8)
+    tri_mat: jnp.ndarray       # (T,) i32 material id
+    tri_light_pmf: jnp.ndarray  # (T,) f32 alias-table pmf of this triangle as
+                                # a light (0 = not emissive); used for MIS when
+                                # a BSDF ray hits an emitter (pathtrace.glsl:74-88)
+    tri_light_area: jnp.ndarray  # (T,) f32 world-space area (for the same MIS pdf)
+    materials: Materials
+    textures: TexStack
+    lights: Lights
+    env: Optional[EnvMap]
+    sunsky: SunSkyParams
+
+
+def default_sunsky() -> SunSkyParams:
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    d = np.asarray([0.45, 0.78, 0.45], np.float32)
+    d = d / np.linalg.norm(d)
+    return SunSkyParams(
+        sun_direction=jnp.asarray(d),
+        sun_intensity=f32(1.0),
+        sun_angular_radius=f32(0.00465),  # physical sun ~0.266 deg
+        turbidity=f32(3.0),
+        ground_color=jnp.asarray([0.4, 0.35, 0.3], jnp.float32),
+        sky_tint=jnp.asarray([1.0, 1.0, 1.0], jnp.float32),
+        enabled=jnp.asarray(1, jnp.int32),
+    )
+
+
+def _pad_rows(a: np.ndarray, n: int) -> np.ndarray:
+    if a.shape[0] >= n:
+        return a
+    pad = np.zeros((n - a.shape[0],) + a.shape[1:], a.dtype)
+    return np.concatenate([a, pad], axis=0)
+
+
+def build_lights(
+    punc: dict | None,
+    trig_v0: np.ndarray,
+    trig_v1: np.ndarray,
+    trig_v2: np.ndarray,
+    trig_emission: np.ndarray,
+) -> Lights:
+    """Build punctual + triangle light tables with alias sampling.
+
+    Weights: punctual lights by luminance * intensity (ref
+    scene.cpp:700-726); emissive triangles by luminance * area
+    (ref scene.cpp:741-772).  trig_samp_prob = triangle power fraction
+    (ref LightBufInfo.trigSampProb, scene.cpp:101-105).
+    """
+    if punc is None:
+        punc = {}
+    ppos = np.asarray(punc.get("pos", np.zeros((0, 3))), np.float32)
+    L = ppos.shape[0]
+    pcol = np.asarray(punc.get("color", np.ones((L, 3))), np.float32)
+    pdir = np.asarray(punc.get("dir", np.tile([0, -1, 0], (L, 1))), np.float32)
+    ptype = np.asarray(punc.get("type", np.zeros(L)), np.int32)
+    prange = np.asarray(punc.get("range", np.zeros(L)), np.float32)
+    pci = np.asarray(punc.get("cos_inner", np.ones(L)), np.float32)
+    pco = np.asarray(punc.get("cos_outer", np.full(L, 0.7)), np.float32)
+
+    lum = np.array([0.2126, 0.7152, 0.0722])
+    punc_w = (pcol * lum).sum(-1) if L else np.zeros(0)
+    punc_table, punc_power = make_alias_table(punc_w if L else np.asarray([0.0]))
+
+    TL = trig_v0.shape[0]
+    if TL:
+        e1 = trig_v1 - trig_v0
+        e2 = trig_v2 - trig_v0
+        area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+        trig_w = (trig_emission * lum).sum(-1) * area
+    else:
+        trig_w = np.asarray([0.0])
+    trig_table, trig_power = make_alias_table(trig_w)
+
+    total = punc_power + trig_power
+    trig_prob = trig_power / total if total > 0 else 0.0
+
+    Lp = max(L, 1)
+    TLp = max(TL, 1)
+    return Lights(
+        punc_pos=jnp.asarray(_pad_rows(ppos, Lp)),
+        punc_color=jnp.asarray(_pad_rows(pcol, Lp)),
+        punc_dir=jnp.asarray(_pad_rows(pdir, Lp)),
+        punc_type=jnp.asarray(_pad_rows(ptype, Lp)),
+        punc_range=jnp.asarray(_pad_rows(prange, Lp)),
+        punc_cos_inner=jnp.asarray(_pad_rows(pci, Lp)),
+        punc_cos_outer=jnp.asarray(_pad_rows(pco, Lp)),
+        punc_table=punc_table,
+        num_punc=jnp.asarray(L, jnp.int32),
+        trig_v0=jnp.asarray(_pad_rows(np.asarray(trig_v0, np.float32), TLp)),
+        trig_v1=jnp.asarray(_pad_rows(np.asarray(trig_v1, np.float32), TLp)),
+        trig_v2=jnp.asarray(_pad_rows(np.asarray(trig_v2, np.float32), TLp)),
+        trig_emission=jnp.asarray(
+            _pad_rows(np.asarray(trig_emission, np.float32), TLp)
+        ),
+        trig_table=trig_table,
+        num_trig=jnp.asarray(TL, jnp.int32),
+        trig_samp_prob=jnp.asarray(trig_prob, jnp.float32),
+    )
+
+
+def make_materials(mats: list[dict]) -> Materials:
+    """Build the SoA material table from a list of dicts (glTF-shaped keys)."""
+    M = max(len(mats), 1)
+
+    def col(key, default, shape=()):
+        out = np.zeros((M,) + shape, np.float32) if shape else np.zeros(M, np.float32)
+        for i in range(M):
+            src = mats[i] if i < len(mats) else {}
+            out[i] = np.asarray(src.get(key, default), np.float32)
+        return out
+
+    def icol(key, default):
+        out = np.full(M, default, np.int32)
+        for i in range(M):
+            src = mats[i] if i < len(mats) else {}
+            out[i] = int(src.get(key, default))
+        return out
+
+    return Materials(
+        base_color=jnp.asarray(col("base_color", [1, 1, 1, 1], (4,))),
+        emissive=jnp.asarray(col("emissive", [0, 0, 0], (3,))),
+        metallic=jnp.asarray(col("metallic", 0.0)),
+        roughness=jnp.asarray(col("roughness", 0.5)),
+        ior=jnp.asarray(col("ior", 1.5)),
+        transmission=jnp.asarray(col("transmission", 0.0)),
+        base_tex=jnp.asarray(icol("base_tex", -1)),
+        mr_tex=jnp.asarray(icol("mr_tex", -1)),
+        normal_tex=jnp.asarray(icol("normal_tex", -1)),
+        emissive_tex=jnp.asarray(icol("emissive_tex", -1)),
+        alpha_mode=jnp.asarray(icol("alpha_mode", ALPHA_OPAQUE)),
+        alpha_cutoff=jnp.asarray(col("alpha_cutoff", 0.5)),
+        double_sided=jnp.asarray(icol("double_sided", 0)),
+    )
+
+
+def make_tex_stack(textures: list[np.ndarray] | None) -> TexStack:
+    """Pad textures to a uniform (NT, TH, TW, 4) stack.  Empty scene gets a
+    1x1 white texel so gathers always have a target."""
+    if not textures:
+        return TexStack(
+            data=jnp.ones((1, 1, 1, 4), jnp.float32),
+            size=jnp.ones((1, 2), jnp.int32),
+        )
+    th = max(t.shape[0] for t in textures)
+    tw = max(t.shape[1] for t in textures)
+    nt = len(textures)
+    data = np.zeros((nt, th, tw, 4), np.float32)
+    size = np.zeros((nt, 2), np.int32)
+    for i, t in enumerate(textures):
+        t = np.asarray(t, np.float32)
+        if t.ndim == 2:
+            t = t[..., None].repeat(3, -1)
+        if t.shape[-1] == 3:
+            t = np.concatenate([t, np.ones(t.shape[:-1] + (1,), np.float32)], -1)
+        data[i, : t.shape[0], : t.shape[1]] = t
+        size[i] = (t.shape[0], t.shape[1])
+    return TexStack(data=jnp.asarray(data), size=jnp.asarray(size))
+
+
+def upload_scene(
+    v0: np.ndarray,
+    v1: np.ndarray,
+    v2: np.ndarray,
+    *,
+    normals: np.ndarray | None = None,      # (T, 3, 3) per-vertex
+    uvs: np.ndarray | None = None,          # (T, 3, 2)
+    tangents: np.ndarray | None = None,     # (T, 3, 4) xyz + handedness w
+    colors: np.ndarray | None = None,       # (T, 3, 4)
+    mat_ids: np.ndarray | None = None,      # (T,)
+    materials: list[dict] | None = None,
+    textures: list[np.ndarray] | None = None,
+    punctual: dict | None = None,
+    env: EnvMap | None = None,
+    sunsky: SunSkyParams | None = None,
+) -> SceneData:
+    """Flatten world-space triangle soup into SceneData + BVH.
+
+    Emissive triangles (material emissive luminance > 0) are extracted into
+    the triangle-light set automatically (ref scene.cpp:355-409)."""
+    T = v0.shape[0]
+    v0 = np.asarray(v0, np.float32)
+    v1 = np.asarray(v1, np.float32)
+    v2 = np.asarray(v2, np.float32)
+
+    if normals is None:
+        gn = np.cross(v1 - v0, v2 - v0)
+        gn /= np.maximum(np.linalg.norm(gn, axis=-1, keepdims=True), 1e-20)
+        normals = np.repeat(gn[:, None, :], 3, axis=1)
+    if uvs is None:
+        uvs = np.zeros((T, 3, 2), np.float32)
+    if tangents is None:
+        # arbitrary tangent orthogonal to the normal
+        n = normals[:, 0]
+        a = np.where(np.abs(n[:, 0:1]) < 0.9, [[1.0, 0, 0]], [[0, 1.0, 0]])
+        t = np.cross(a, n)
+        t /= np.maximum(np.linalg.norm(t, axis=-1, keepdims=True), 1e-20)
+        tangents = np.concatenate(
+            [np.repeat(t[:, None], 3, axis=1), np.ones((T, 3, 1), np.float32)], -1
+        )
+    if colors is None:
+        colors = np.ones((T, 3, 4), np.float32)
+    if mat_ids is None:
+        mat_ids = np.zeros(T, np.int32)
+    if materials is None:
+        materials = [{}]
+
+    mat_table = make_materials(materials)
+
+    # emissive triangle extraction (ref scene.cpp:355-409)
+    em = np.zeros((len(materials), 3), np.float32)
+    for i, m in enumerate(materials):
+        em[i] = np.asarray(m.get("emissive", [0, 0, 0]), np.float32)
+    lum = (em * [0.2126, 0.7152, 0.0722]).sum(-1)
+    emissive_mask = lum[np.asarray(mat_ids)] > 0.0
+    lights = build_lights(
+        punctual,
+        v0[emissive_mask],
+        v1[emissive_mask],
+        v2[emissive_mask],
+        em[np.asarray(mat_ids)][emissive_mask],
+    )
+    # tri -> light pmf + area for emitter-hit MIS (0 for non-emissive tris)
+    tri_light_pmf = np.zeros(T, np.float32)
+    tri_light_area = (
+        0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=-1)
+    ).astype(np.float32)
+    if emissive_mask.any():
+        tri_light_pmf[emissive_mask] = np.asarray(lights.trig_table.pdf)[
+            : int(emissive_mask.sum())
+        ]
+
+    gn = np.cross(v1 - v0, v2 - v0)
+    gn /= np.maximum(np.linalg.norm(gn, axis=-1, keepdims=True), 1e-20)
+    gn_packed = np.asarray(octa.encode_unit_u32(jnp.asarray(gn.astype(np.float32))))
+    nrm_packed = np.asarray(
+        octa.encode_unit_u32(jnp.asarray(normals.astype(np.float32)))
+    )
+    tan_packed = np.asarray(
+        octa.encode_unit_u32(jnp.asarray(tangents[..., :3].astype(np.float32)))
+    )
+    col_packed = np.asarray(octa.pack_unorm4x8(jnp.asarray(colors.astype(np.float32))))
+
+    return SceneData(
+        bvh=build_bvh(v0, v1, v2),
+        tri_gn=jnp.asarray(gn_packed),
+        tri_nrm=jnp.asarray(nrm_packed),
+        tri_uv=jnp.asarray(uvs.astype(np.float32)),
+        tri_tangent=jnp.asarray(tan_packed),
+        tri_hand=jnp.asarray(tangents[..., 3].astype(np.float32)),
+        tri_color=jnp.asarray(col_packed),
+        tri_mat=jnp.asarray(np.asarray(mat_ids, np.int32)),
+        tri_light_pmf=jnp.asarray(tri_light_pmf),
+        tri_light_area=jnp.asarray(tri_light_area),
+        materials=mat_table,
+        textures=make_tex_stack(textures),
+        lights=lights,
+        env=env,
+        sunsky=sunsky if sunsky is not None else default_sunsky(),
+    )
