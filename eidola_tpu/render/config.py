@@ -58,6 +58,7 @@ class RenderConfig:
     use_nee: bool = True            # False = pure BSDF-sampling estimator
                                     # (ablation/oracle mode, SURVEY §4)
     indirect_half_res: bool = True  # quarter-pixel-count GI field (renderer.cpp:174)
+    indirect_enabled: bool = True
     env_mode: str = "sunsky"        # "sunsky" | "hdr"
     debug_mode: int = DEBUG_NONE
     accumulate: bool = True         # progressive accumulation when camera still

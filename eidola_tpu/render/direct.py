@@ -1,0 +1,286 @@
+"""ReSTIR DI direct stage: G-buffer + RIS + visibility + temporal reuse
+(ref shaders/direct_stage.comp:129-289; split-pass variants direct_gen/
+direct_reuse are subsumed by the fused path, ref renderer.cpp:166-172).
+
+Per frame, full resolution, fully SoA over (H, W):
+  primary hit -> motion vector + packed G-buffer
+  RIS over M light candidates (no visibility)         [K1:188-199]
+  one shadow ray for the winner, zero on occlusion    [K1:200-207]
+  temporal merge via motion-indexed history reservoir
+  with normal/depth/matHash gates                     [K1:47-84, 209-217]
+  optional spatial disk-neighbour merge rounds        [K1:86-121, 224-255]
+  M-clamp, shade winner, firefly clamp, HDR->LDR      [K1:219-222, 256-288]
+
+Shading is albedo-demodulated (BSDF evaluated with albedo=1) so the denoiser
+filters pure illumination; compose re-modulates (ref K1:178-179, compose.comp).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..ops import reservoir as resv
+from ..ops import rng as erng
+from ..ops.bvh import any_hit, closest_hit
+from ..ops.math import (
+    clamp_radiance,
+    dot3,
+    hdr_to_ldr,
+    luminance,
+    make_frame,
+    offset_ray,
+    to_local,
+)
+from ..scene.camera import Camera, project_to_pixel, spawn_rays
+from ..scene.data import SceneData
+from .bsdf import BsdfParams, eval_bsdf
+from .config import (
+    RESTIR_NONE,
+    RESTIR_RIS,
+    RESTIR_SPATIAL,
+    RESTIR_SPATIOTEMPORAL,
+    RESTIR_TEMPORAL,
+    RenderConfig,
+    RenderParams,
+)
+from .gbuffer import GBuffer, GBufferView, center_rays, decode_gbuffer, pack_gbuffer
+from .pathtrace import sample_direct_light
+from .shade_state import State, get_state
+
+_TMIN = 1e-4
+_TMAX = 1e8
+
+
+class DirectOut(NamedTuple):
+    illum_ldr: jnp.ndarray   # (H, W, 3) demodulated direct illumination (LDR-compressed)
+    emission: jnp.ndarray    # (H, W, 3) emitter/env passthrough (not denoised)
+    gbuf: GBuffer
+    view: GBufferView        # decoded current G-buffer (reused downstream)
+    motion: jnp.ndarray      # (H, W, 2) i32 last-frame pixel (y, x); -1 invalid
+    resv: dict               # DI reservoirs to carry into the next frame
+    state: State             # full shading state of the primary hit
+
+
+def _demod_bsdf(state: State) -> BsdfParams:
+    return BsdfParams(
+        albedo=jnp.ones_like(state.albedo),
+        metallic=state.metallic,
+        roughness=state.roughness,
+    )
+
+
+def _phat(state: State, wo, li, wi):
+    """ReSTIR DI target function at a surface: luminance of unshadowed
+    demodulated contribution (ref direct_stage.comp RIS loop)."""
+    t, b = make_frame(state.nrm)
+    wo_l = to_local(t, b, state.nrm, wo)
+    wi_l = to_local(t, b, state.nrm, wi)
+    f = eval_bsdf(_demod_bsdf(state), wo_l, wi_l)
+    cos_i = jnp.maximum(wi_l[..., 2], 0.0)
+    return luminance(li * f) * cos_i
+
+
+def _shade(state: State, wo, li, wi):
+    """Full demodulated contribution vector (before W)."""
+    t, b = make_frame(state.nrm)
+    wo_l = to_local(t, b, state.nrm, wo)
+    wi_l = to_local(t, b, state.nrm, wi)
+    f = eval_bsdf(_demod_bsdf(state), wo_l, wi_l)
+    cos_i = jnp.maximum(wi_l[..., 2], 0.0)
+    return li * f * cos_i[..., None]
+
+
+def _empty_sample(h, w):
+    return {
+        "li": jnp.zeros((h, w, 3), jnp.float32),
+        "wi": jnp.zeros((h, w, 3), jnp.float32),
+        "dist": jnp.zeros((h, w), jnp.float32),
+    }
+
+
+def empty_di_reservoir(h: int, w: int) -> dict:
+    return resv.make_reservoir(_empty_sample(h, w), (h, w))
+
+
+def _temporal_gates(view: GBufferView, hist: GBufferView):
+    """Reprojection acceptance gates (ref direct_stage.comp:47-84):
+    normal dot > 0.9, depth within 5%, material hash equal."""
+    n_ok = dot3(view.nrm, hist.nrm) > 0.9
+    d_ok = jnp.abs(view.depth - hist.depth) < 0.05 * jnp.maximum(view.depth, 1e-3)
+    m_ok = view.mat_hash == hist.mat_hash
+    return view.valid & hist.valid & n_ok & d_ok & m_ok
+
+
+def _gather_view(view: GBufferView, flat_idx) -> GBufferView:
+    """Gather a (H, W) GBufferView at flat pixel indices, returning a view
+    with the same (H, W) shape (flat_idx must have H*W entries)."""
+    h, w = view.depth.shape
+
+    def g(a):
+        flat = a.reshape((h * w,) + a.shape[2:])[flat_idx]
+        return flat.reshape((h, w) + a.shape[2:])
+
+    return GBufferView(
+        valid=g(view.valid), depth=g(view.depth), pos=g(view.pos), nrm=g(view.nrm),
+        albedo=g(view.albedo), mat_hash=g(view.mat_hash),
+        metallic=g(view.metallic), roughness=g(view.roughness),
+    )
+
+
+def _gather_resv(r: dict, flat_idx, h: int, w: int) -> dict:
+    """Gather (H, W)-shaped reservoirs at flat indices, back to (H, W)."""
+    import jax
+
+    def g(a):
+        flat = a.reshape((h * w,) + a.shape[2:])[flat_idx]
+        return flat.reshape((h, w) + a.shape[2:])
+
+    return jax.tree_util.tree_map(g, r)
+
+
+def direct_stage(
+    cfg: RenderConfig,
+    scene: SceneData,
+    params: RenderParams,
+    cam: Camera,
+    prev_gbuf: GBuffer,
+    prev_resv: dict,
+    prev_cam: Camera,
+    rng_state,
+) -> tuple[jnp.ndarray, DirectOut]:
+    h, w = cfg.height, cfg.width
+    R = h * w
+
+    # --- primary hit ------------------------------------------------- K1:280
+    rng_state, o, d = spawn_rays(cam, h, w, rng_state)
+    rec = closest_hit(
+        scene.bvh, o.reshape(-1, 3), d.reshape(-1, 3),
+        jnp.full(R, _TMIN), jnp.full(R, _TMAX),
+        max_steps=cfg.traversal_max_steps,
+    )
+    t_hit = rec.t.reshape(h, w)
+    state = get_state(
+        scene, o, d, rec.tri.reshape(h, w), t_hit,
+        rec.u.reshape(h, w), rec.v.reshape(h, w),
+    )
+    wo = -d
+
+    # --- emission / env passthrough ------------------------------ K1:154-174
+    from .pathtrace import env_radiance
+
+    env = env_radiance(cfg, scene, params, d)
+    emission = jnp.where(state.valid[..., None], state.emission, env)
+
+    # --- G-buffer + motion vector -------------------------------- K1:131-165
+    gbuf = pack_gbuffer(state, t_hit)
+    view = decode_gbuffer(gbuf, cam.pos, center_rays(cam, h, w))
+    py, px, inside = project_to_pixel(cam.last_proj_view, state.pos, h, w)
+    mvalid = inside & state.valid
+    motion = jnp.stack(
+        [
+            jnp.where(mvalid, jnp.clip(py.astype(jnp.int32), 0, h - 1), -1),
+            jnp.where(mvalid, jnp.clip(px.astype(jnp.int32), 0, w - 1), -1),
+        ],
+        axis=-1,
+    )
+
+    use_restir = cfg.restir_mode != RESTIR_NONE
+
+    # --- RIS candidate loop -------------------------------------- K1:188-199
+    r = empty_di_reservoir(h, w)
+    n_candidates = cfg.ris_sample_num if use_restir else 1
+    for _ in range(n_candidates):
+        rng_state, ls = sample_direct_light(cfg, scene, params, state.pos, rng_state)
+        p_hat = _phat(state, wo, ls.li, ls.wi)
+        wgt = jnp.where(ls.pdf > 1e-12, p_hat / jnp.maximum(ls.pdf, 1e-12), 0.0)
+        rng_state, u = erng.rand(rng_state)
+        r = resv.resv_update(
+            r, {"li": ls.li, "wi": ls.wi, "dist": ls.dist}, wgt, u
+        )
+
+    # --- shadow ray for the RIS winner --------------------------- K1:200-207
+    sel = r["sample"]
+    origin = offset_ray(
+        state.pos,
+        jnp.where(dot3(state.geo_nrm, sel["wi"])[..., None] >= 0,
+                  state.geo_nrm, -state.geo_nrm),
+    )
+    occluded = any_hit(
+        scene.bvh, origin.reshape(-1, 3), sel["wi"].reshape(-1, 3),
+        jnp.full(R, _TMIN), (sel["dist"] * 0.999).reshape(-1),
+        max_steps=cfg.traversal_max_steps,
+    ).reshape(h, w)
+    r["weight"] = jnp.where(occluded | ~state.valid, 0.0, r["weight"])
+
+    # --- temporal reuse ------------------------------------- K1:47-84,209-217
+    if cfg.restir_mode in (RESTIR_TEMPORAL, RESTIR_SPATIOTEMPORAL):
+        prev_view = decode_gbuffer(
+            prev_gbuf, prev_cam.pos, center_rays(prev_cam, h, w)
+        )
+        flat_idx = jnp.clip(motion[..., 0], 0, h - 1) * w + jnp.clip(
+            motion[..., 1], 0, w - 1
+        )
+        flat_idx = flat_idx.reshape(-1)
+        hist_view = _gather_view(prev_view, flat_idx)
+        hist_resv = _gather_resv(prev_resv, flat_idx, h, w)
+        gates = _temporal_gates(view, hist_view) & (motion[..., 0] >= 0)
+        rng_state, u = erng.rand(rng_state)
+        r = resv.resv_merge_same_target(r, hist_resv, u, enabled=gates)
+
+    # --- spatial reuse rounds ------------------------------- K1:86-121,224-255
+    if cfg.restir_mode in (RESTIR_SPATIAL, RESTIR_SPATIOTEMPORAL):
+        for _round in range(max(cfg.spatial_rounds, 1)):
+            r = _spatial_merge(cfg, view, r, rng_state)
+            rng_state, _ = erng.rand(rng_state)
+
+    # --- clamp + shade ------------------------------------ K1:219-222,256-288
+    if use_restir:
+        r = resv.resv_clamp(
+            r, cfg.ris_sample_num * params.reservoir_clamp
+        )
+    r = resv.resv_check(r)
+    sel = r["sample"]
+    p_hat_sel = _phat(state, wo, sel["li"], sel["wi"])
+    big_w = resv.resv_big_w(r, p_hat_sel)
+    illum = _shade(state, wo, sel["li"], sel["wi"]) * big_w[..., None]
+    illum = jnp.where(state.valid[..., None], illum, 0.0)
+    illum = clamp_radiance(illum, params.firefly_clamp)
+    illum_ldr = hdr_to_ldr(illum)
+
+    return rng_state, DirectOut(
+        illum_ldr=illum_ldr,
+        emission=emission,
+        gbuf=gbuf,
+        view=view,
+        motion=motion,
+        resv=r,
+        state=state,
+    )
+
+
+def _spatial_merge(cfg: RenderConfig, view: GBufferView, r: dict, rng_state):
+    """One spatial round: merge disk-distributed neighbours with the same
+    geometric gates (ref direct_stage.comp:86-121).  Neighbour reservoirs are
+    the *current* ones (single-pass approximation of the reference's
+    barrier-separated exchange)."""
+    h, w = view.depth.shape
+    rng_state, u1 = erng.rand(rng_state)
+    rng_state, u2 = erng.rand(rng_state)
+    ys = jnp.arange(h)[:, None] * jnp.ones((1, w), jnp.int32)
+    xs = jnp.arange(w)[None, :] * jnp.ones((h, 1), jnp.int32)
+    radius = 30.0
+    for k in range(cfg.spatial_neighbors):
+        rng_state, a1 = erng.rand(rng_state)
+        rng_state, a2 = erng.rand(rng_state)
+        ang = 2.0 * jnp.pi * a1
+        rad = radius * jnp.sqrt(a2)
+        ny = jnp.clip((ys + (rad * jnp.sin(ang)).astype(jnp.int32)), 0, h - 1)
+        nx = jnp.clip((xs + (rad * jnp.cos(ang)).astype(jnp.int32)), 0, w - 1)
+        flat = (ny * w + nx).reshape(-1)
+        n_view = _gather_view(view, flat)
+        n_resv = _gather_resv(r, flat, h, w)
+        gates = _temporal_gates(view, n_view)
+        rng_state, u = erng.rand(rng_state)
+        r = resv.resv_merge_same_target(r, n_resv, u, enabled=gates)
+    return r

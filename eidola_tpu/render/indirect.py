@@ -1,0 +1,254 @@
+"""ReSTIR GI indirect stage at quarter pixel count
+(ref shaders/indirect_stage.comp:129-309; G-buffer reconstruction ref
+pathtrace.glsl:296-360).
+
+Per half-res pixel:
+  reconstruct the primary surface from the full-res G-buffer at coord*2
+  tiled multi-bounce: a per-8x8-tile coin decides whether the continuation
+  path traces max_depth bounces (contribution x 1/p compensated) or stops at
+  one bounce                                           [K2:39-45, 283-288]
+  GI sample: BSDF-sample a first bounce direction from the surface, trace it,
+  collect radiance L arriving from the hit xs (emission + NEE'd continuation)
+  ReSTIR GI reservoir: candidate weight pHat/p1 with pHat = luminance(L)
+  (pixel-independent target so temporal merges stay same-target), temporal
+  fetch via the motion vector at coord*2, M-clamp      [K2:228-252]
+  shade: L * f(xv, xv->xs) * cos * W, firefly clamp, HDR->LDR  [K2:255-264]
+
+TPU note: the tiled RR currently keeps all lanes resident and masks short
+tiles (identical estimator); physical compaction of long tiles is a planned
+optimization (SURVEY §5.7).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..ops import reservoir as resv
+from ..ops import rng as erng
+from ..ops.bvh import closest_hit
+from ..ops.math import (
+    clamp_radiance,
+    dot3,
+    hdr_to_ldr,
+    luminance,
+    make_frame,
+    normalize,
+    offset_ray,
+    to_local,
+    to_world,
+)
+from ..scene.camera import Camera
+from ..scene.data import SceneData
+from .bsdf import BsdfParams, eval_bsdf, sample_bsdf
+from .config import RESTIR_NONE, RESTIR_RIS, RenderConfig, RenderParams
+from .gbuffer import GBuffer, GBufferView
+from .pathtrace import env_radiance
+from .shade_state import State, get_state
+from .tracer import trace_radiance
+from .direct import _gather_resv, _gather_view, _temporal_gates
+
+_TMIN = 1e-4
+_TMAX = 1e8
+_ENV_DIST = 1e6
+
+
+class IndirectOut(NamedTuple):
+    illum_ldr: jnp.ndarray  # (h2, w2, 3) demodulated indirect illumination (LDR)
+    resv: dict              # GI reservoirs to carry
+
+
+def empty_gi_reservoir(h2: int, w2: int) -> dict:
+    sample = {
+        "xs": jnp.zeros((h2, w2, 3), jnp.float32),
+        "ns": jnp.zeros((h2, w2, 3), jnp.float32),
+        "l": jnp.zeros((h2, w2, 3), jnp.float32),
+    }
+    return resv.make_reservoir(sample, (h2, w2))
+
+
+def _surface_from_view(view: GBufferView, cam: Camera) -> State:
+    """Rebuild a shading State from the decoded G-buffer (demodulated:
+    albedo=1; ref pathtrace.glsl:296-360 getIndirectStateFromGBuffer)."""
+    ones3 = jnp.ones(view.pos.shape, jnp.float32)
+    return State(
+        pos=view.pos,
+        nrm=view.nrm,
+        geo_nrm=view.nrm,
+        uv=jnp.zeros(view.pos.shape[:-1] + (2,), jnp.float32),
+        albedo=ones3,
+        opacity=jnp.ones_like(view.depth),
+        metallic=view.metallic,
+        roughness=view.roughness,
+        emission=jnp.zeros_like(ones3),
+        mat_id=view.mat_hash.astype(jnp.int32),
+        valid=view.valid,
+    )
+
+
+def _tile_long_mask(cfg: RenderConfig, params: RenderParams, h2: int, w2: int):
+    """One shared bernoulli per 8x8 tile (ref indirect_stage.comp:283-288)."""
+    ts = cfg.multibounce_tile
+    th = (h2 + ts - 1) // ts
+    tw = (w2 + ts - 1) // ts
+    ty = jnp.arange(th, dtype=jnp.uint32)[:, None] * jnp.ones((1, tw), jnp.uint32)
+    tx = jnp.arange(tw, dtype=jnp.uint32)[None, :] * jnp.ones((th, 1), jnp.uint32)
+    salt = jnp.broadcast_to(
+        params.time_word + jnp.uint32(0x9E37), (th, tw)
+    )
+    seed = erng.pcg2d(jnp.stack([ty * jnp.uint32(7919) + tx, salt], -1))[..., 0]
+    u = (seed >> jnp.uint32(9)).astype(jnp.float32) / float(1 << 23)
+    long_tile = u < cfg.multibounce_prob
+    full = jnp.repeat(jnp.repeat(long_tile, ts, axis=0), ts, axis=1)
+    return full[:h2, :w2]
+
+
+def indirect_stage(
+    cfg: RenderConfig,
+    scene: SceneData,
+    params: RenderParams,
+    cam: Camera,
+    view_full: GBufferView,
+    motion_full: jnp.ndarray,
+    prev_view_full: GBufferView,
+    prev_resv: dict,
+    rng_state,
+) -> tuple[jnp.ndarray, IndirectOut]:
+    """rng_state: (h2, w2) u32 stream for the half-res lanes."""
+    stride = 2 if cfg.indirect_half_res else 1
+    h2 = cfg.height // stride
+    w2 = cfg.width // stride
+    R = h2 * w2
+
+    # --- reconstruct primary surface at coord*stride ------------- K2:292
+    def sub(a):
+        return a[::stride, ::stride]
+
+    view = GBufferView(*[sub(a) for a in view_full])
+    surf = _surface_from_view(view, cam)
+    wo = normalize(jnp.broadcast_to(cam.pos, surf.pos.shape) - surf.pos)
+
+    # --- first bounce direction (BSDF sample at xv) -------------- K2:155-161
+    rng_state, u1 = erng.rand(rng_state)
+    rng_state, u2 = erng.rand(rng_state)
+    rng_state, u3 = erng.rand(rng_state)
+    bp = BsdfParams(albedo=view.albedo, metallic=surf.metallic, roughness=surf.roughness)
+    t, b = make_frame(surf.nrm)
+    wo_l = to_local(t, b, surf.nrm, wo)
+    wi_l, p1, _f1 = sample_bsdf(bp, wo_l, u1, u2, u3)
+    d1 = to_world(t, b, surf.nrm, wi_l)
+    gen_ok = surf.valid & (p1 > 1e-9) & (wi_l[..., 2] > 0.0)
+
+    origin = offset_ray(surf.pos, surf.nrm)
+    rec = closest_hit(
+        scene.bvh, origin.reshape(-1, 3), d1.reshape(-1, 3),
+        jnp.full(R, _TMIN), jnp.full(R, _TMAX),
+        max_steps=cfg.traversal_max_steps,
+    )
+    tri1 = rec.tri.reshape(h2, w2)
+    xs_state = get_state(
+        scene, origin, d1, tri1, rec.t.reshape(h2, w2),
+        rec.u.reshape(h2, w2), rec.v.reshape(h2, w2),
+    )
+    hit1 = xs_state.valid & gen_ok
+    escaped1 = (~xs_state.valid) & gen_ok
+
+    # radiance arriving at xv from the sample: emission at xs (weight 1 — no
+    # NEE was done at xv in this stage, DI covers it) + continued transport
+    L = jnp.where(hit1[..., None], xs_state.emission, 0.0)
+    L = L + jnp.where(
+        escaped1[..., None], env_radiance(cfg, scene, params, d1), 0.0
+    )
+
+    # --- continuation with tiled multi-bounce -------------------- K2:129-226
+    if cfg.max_depth > 1:
+        rng_in = rng_state
+        rng_state, L_sub, _ = trace_radiance(
+            cfg, scene, params, None, None, rng_in,
+            num_bounces=cfg.max_depth - 1,
+            start_state=xs_state,
+            start_wo=-d1,
+            nee_start_depth=0,  # NEE from xs onward
+        )
+        if cfg.tiled_multibounce and cfg.max_depth > 2:
+            long_mask = _tile_long_mask(cfg, params, h2, w2)
+            scale = jnp.where(long_mask, 1.0 / max(cfg.multibounce_prob, 1e-3), 0.0)
+            # the FIRST continuation segment (NEE at xs) must always count;
+            # only bounces beyond xs are tile-gated.  Re-running the tracer
+            # with the SAME rng prefix yields exactly the 1-bounce prefix of
+            # L_sub, so (L_sub - L_one) isolates the deep-bounce contribution.
+            _, L_one, _ = trace_radiance(
+                cfg, scene, params, None, None, rng_in,
+                num_bounces=1, start_state=xs_state, start_wo=-d1,
+                nee_start_depth=0,
+            )
+            L_cont = L_one + (L_sub - L_one) * scale[..., None]
+        else:
+            L_cont = L_sub
+        L = L + jnp.where(hit1[..., None], L_cont, 0.0)
+
+    xs = jnp.where(
+        hit1[..., None], xs_state.pos, origin + d1 * _ENV_DIST
+    )
+    ns = jnp.where(hit1[..., None], xs_state.nrm, -d1)
+
+    # --- ReSTIR GI reservoir ------------------------------------- K2:228-252
+    use_restir = cfg.restir_mode not in (RESTIR_NONE, RESTIR_RIS)
+    p_hat_new = luminance(L)
+    w_new = jnp.where(gen_ok & (p1 > 1e-9), p_hat_new / jnp.maximum(p1, 1e-9), 0.0)
+    r = empty_gi_reservoir(h2, w2)
+    rng_state, u = erng.rand(rng_state)
+    r = resv.resv_update(r, {"xs": xs, "ns": ns, "l": L}, w_new, u)
+
+    if use_restir:
+        # temporal fetch via motion vector at coord*stride ------- K2:234-238
+        motion = motion_full[::stride, ::stride]
+        m_ok = motion[..., 0] >= 0
+        hist_y2 = jnp.clip(motion[..., 0] // stride, 0, h2 - 1)
+        hist_x2 = jnp.clip(motion[..., 1] // stride, 0, w2 - 1)
+        flat_half = (hist_y2 * w2 + hist_x2).reshape(-1)
+        hist_resv = _gather_resv(prev_resv, flat_half, h2, w2)
+        # geometric gates vs the history G-buffer at the full-res coord
+        hy = jnp.clip(motion[..., 0], 0, cfg.height - 1)
+        hx = jnp.clip(motion[..., 1], 0, cfg.width - 1)
+        flat_full = (hy * cfg.width + hx).reshape(-1)
+        hist_view = _gather_view_halfres(prev_view_full, flat_full, h2, w2)
+        gates = _temporal_gates(view, hist_view) & m_ok
+        rng_state, u = erng.rand(rng_state)
+        r = resv.resv_merge_same_target(r, hist_resv, u, enabled=gates)
+        r = resv.resv_clamp(r, 2.0 * params.reservoir_clamp)
+    r = resv.resv_check(r)
+
+    # --- shade ---------------------------------------------------- K2:255-264
+    sel = r["sample"]
+    dir_s = normalize(sel["xs"] - surf.pos)
+    wi_sel = to_local(t, b, surf.nrm, dir_s)
+    f = eval_bsdf(
+        BsdfParams(albedo=jnp.ones_like(view.albedo), metallic=surf.metallic,
+                   roughness=surf.roughness),
+        wo_l, wi_sel,
+    )
+    cos_i = jnp.maximum(wi_sel[..., 2], 0.0)
+    p_hat_sel = luminance(sel["l"])
+    big_w = resv.resv_big_w(r, p_hat_sel)
+    illum = sel["l"] * f * (cos_i * big_w)[..., None]
+    illum = jnp.where(surf.valid[..., None], illum, 0.0)
+    illum = clamp_radiance(illum, params.firefly_clamp)
+    return rng_state, IndirectOut(illum_ldr=hdr_to_ldr(illum), resv=r)
+
+
+def _gather_view_halfres(view_full: GBufferView, flat_idx, h2: int, w2: int):
+    """Gather a full-res GBufferView at flat full-res indices, producing a
+    half-res-shaped view."""
+    hf, wf = view_full.depth.shape
+
+    def g(a):
+        flat = a.reshape((hf * wf,) + a.shape[2:])[flat_idx]
+        return flat.reshape((h2, w2) + a.shape[2:])
+
+    return GBufferView(
+        valid=g(view_full.valid), depth=g(view_full.depth), pos=g(view_full.pos),
+        nrm=g(view_full.nrm), albedo=g(view_full.albedo),
+        mat_hash=g(view_full.mat_hash), metallic=g(view_full.metallic),
+        roughness=g(view_full.roughness),
+    )

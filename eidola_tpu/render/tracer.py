@@ -105,6 +105,7 @@ def trace_radiance(
     collect_first_vertex: bool = False,
     start_state: State | None = None,
     start_wo=None,
+    nee_start_depth: int = 0,
 ):
     """Trace radiance along rays (o, d): flat or image-shaped lanes.
 
@@ -155,12 +156,12 @@ def trace_radiance(
 
             escaped = alive & ~state.valid
             env = env_radiance(cfg, scene, params, cur_d)
-            if cfg.use_mis and cfg.use_nee and depth > 0:
+            if cfg.use_mis and cfg.use_nee and depth > nee_start_depth:
                 lp = env_pdf_dir(cfg, scene, cur_d) * env_selection_prob(
                     cfg, scene, params
                 )
                 w_env = power_heuristic(last_bsdf_pdf, lp)
-            elif cfg.use_nee and depth > 0:
+            elif cfg.use_nee and depth > nee_start_depth:
                 # NEE-only estimator: drop BSDF-found light to avoid double count
                 w_env = jnp.zeros(shape, jnp.float32)
             else:
@@ -172,13 +173,13 @@ def trace_radiance(
             # emitter hit (ref indirect_stage.comp:180-216)
             hit_em = alive & state.valid
             emission = state.emission
-            if cfg.use_mis and cfg.use_nee and depth > 0:
+            if cfg.use_mis and cfg.use_nee and depth > nee_start_depth:
                 cos_l = jnp.abs(dot3(state.geo_nrm, wo))
                 lp = light_pdf_for_bsdf_dir(
                     cfg, scene, params, cur_d, tri, rec.t.reshape(shape), cos_l
                 )
                 w_em = power_heuristic(last_bsdf_pdf, lp)
-            elif cfg.use_nee and depth > 0:
+            elif cfg.use_nee and depth > nee_start_depth:
                 # NEE-only: count emitter hits only for lights NEE can't find
                 w_em = jnp.where(
                     scene.tri_light_pmf[jnp.maximum(tri, 0)] > 0.0, 0.0, 1.0
@@ -200,7 +201,7 @@ def trace_radiance(
             break
 
         # NEE at this vertex (ref indirect_stage.comp:143-153)
-        if cfg.use_nee:
+        if cfg.use_nee and depth >= nee_start_depth:
             rng_state, contrib = nee_contribution(
                 cfg, scene, params, state, wo, rng_state
             )
