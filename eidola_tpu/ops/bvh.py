@@ -1,23 +1,30 @@
-"""Stackless threaded BVH: host-side build + wavefront device traversal.
+"""Stackless threaded BVH: host-side build + wavefront packet traversal.
 
 TPU-native replacement for the reference's hardware acceleration structure
 (ref src/accelstruct.cpp:71-162 builds BLAS/TLAS via VK_KHR_acceleration_
 structure; shaders/traceray_rq.glsl:108-185 traverses it per thread).
 
-Design (not a translation):
+Design (measured-in, not a translation):
 - Geometry is flattened to world space at load (the reference's scenes are
-  static; instancing is applied on the host like the TLAS instance transforms,
-  accelstruct.cpp:132-162).
+  static; instancing is applied on the host like the TLAS instance
+  transforms, accelstruct.cpp:132-162).
 - The tree is a complete binary heap over Morton-sorted triangles with fixed
-  leaf width.  Completeness lets us thread the tree with analytically
-  computed preorder "miss" links, so device traversal is STACKLESS: every
-  ray carries one node index and steps
-        hit internal  -> left child  (2i+1)
-        miss / leaf   -> miss[i]
-  which vectorizes perfectly over a flat ray stream (no per-ray stacks, no
-  divergent control flow — just masked lane updates inside lax.while_loop).
-- Empty padding leaves carry inverted AABBs and degenerate triangles, so they
-  are culled by the slab test and can never produce hits.
+  leaf width.  Completeness gives analytic preorder "miss" links, so
+  traversal is STACKLESS:  hit internal -> left child (2i+1); miss or
+  leaf -> miss[i].
+- PACKET TRAVERSAL: TPU row-gathers cost ~5 ns per ROW regardless of width,
+  so per-ray cursors are gather-bound.  Instead, 128 coherent rays share ONE
+  node cursor (a "packet"); the packet advances if ANY member ray hits the
+  node box.  Per step this is a single (P,)-row gather plus dense (P, 128)
+  vector math — full 8x128 VPU lane occupancy, 128x fewer gathers.  Callers
+  should order rays coherently (image tiles); `closest_hit` packs a flat ray
+  stream row-major.
+- ONE GATHER PER STEP: each 64-float node row carries bmin/bmax, the miss
+  and leaf links as bitcast int32, AND the leaf's four triangles as
+  (v0, e1, e2) so leaf steps need no second fetch.
+- Empty padding leaves carry inverted AABBs and degenerate triangles, so
+  they are culled by the slab test and can never produce hits; padded rays
+  (t_max <= 0) never hit anything.
 """
 from __future__ import annotations
 
@@ -27,21 +34,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .intersect import ray_aabb, ray_triangle, safe_inv_dir
-
 LEAF_SIZE = 4
+PACKET = 128
 _BIG = 1e30
+_ROW = 64  # floats per node row: 6 aabb + 2 links + 48 tri + 8 pad
 
 
 class BVH(NamedTuple):
-    bmin: jnp.ndarray      # (N, 3) f32 node AABB min (heap order)
-    bmax: jnp.ndarray      # (N, 3) f32 node AABB max
-    miss: jnp.ndarray      # (N,) i32 preorder escape link (-1 = done)
-    v0: jnp.ndarray        # (P*LEAF, 3) f32 sorted/padded triangle verts
-    e1: jnp.ndarray        # (P*LEAF, 3) f32 v1 - v0
-    e2: jnp.ndarray        # (P*LEAF, 3) f32 v2 - v0
+    nodes: jnp.ndarray     # (N, 64) f32 packed node+leaf rows (see build_bvh)
     prim_id: jnp.ndarray   # (P*LEAF,) i32 original triangle id (-1 = pad)
-    leaf_start: jnp.ndarray  # () i32: heap index of first leaf (= P-1)
+    n_tris: jnp.ndarray    # () i32 true triangle count
 
 
 class HitRecord(NamedTuple):
@@ -72,11 +74,9 @@ def morton3d(p01: np.ndarray) -> np.ndarray:
 
 
 def _miss_links(num_nodes: int) -> np.ndarray:
-    """Preorder escape links for a complete heap-ordered binary tree.
-
-    miss[0] = -1; a left child's escape is its right sibling; a right child's
-    escape is its parent's escape.  Computed level by level (parents first).
-    """
+    """Preorder escape links for a complete heap-ordered binary tree:
+    miss[0] = -1; a left child's escape is its right sibling; a right
+    child's escape is its parent's escape (computed level by level)."""
     miss = np.full(num_nodes, -1, np.int64)
     level_start = 1
     while level_start < num_nodes:
@@ -97,6 +97,7 @@ def build_bvh(
 
     v0/v1/v2: (T, 3) world-space triangle vertices (float32).
     """
+    assert leaf_size == LEAF_SIZE
     v0 = np.asarray(v0, np.float32)
     v1 = np.asarray(v1, np.float32)
     v2 = np.asarray(v2, np.float32)
@@ -134,7 +135,6 @@ def build_bvh(
     bmax = np.full((N, 3), -_BIG, np.float32)
     bmin[P - 1:] = leaf_bmin
     bmax[P - 1:] = leaf_bmax
-    # bottom-up union over internal levels
     level_start = P - 1
     while level_start > 0:
         parent_start = (level_start - 1) // 2
@@ -144,32 +144,79 @@ def build_bvh(
         bmax[parents] = np.maximum(bmax[l], bmax[r])
         level_start = parent_start
 
+    miss = _miss_links(N)
+    leaf_first = np.full(N, -1, np.int32)
+    leaf_first[P - 1:] = np.arange(P, dtype=np.int32)
+
+    e1 = (sv1 - sv0).reshape(P, leaf_size, 3)
+    e2 = (sv2 - sv0).reshape(P, leaf_size, 3)
+    tv0 = sv0.reshape(P, leaf_size, 3)
+    blocks = np.zeros((P, leaf_size, 12), np.float32)
+    blocks[:, :, 0:3] = tv0
+    blocks[:, :, 3:6] = e1
+    blocks[:, :, 6:9] = e2
+
+    nodes = np.zeros((N, _ROW), np.float32)
+    nodes[:, 0:3] = bmin
+    nodes[:, 3:6] = bmax
+    nodes[:, 6] = miss.view(np.float32)
+    nodes[:, 7] = leaf_first.view(np.float32)
+    nodes[P - 1:, 8:56] = blocks.reshape(P, leaf_size * 12)
+
     return BVH(
-        bmin=jnp.asarray(bmin),
-        bmax=jnp.asarray(bmax),
-        miss=jnp.asarray(_miss_links(N)),
-        v0=jnp.asarray(sv0),
-        e1=jnp.asarray(sv1 - sv0),
-        e2=jnp.asarray(sv2 - sv0),
+        nodes=jnp.asarray(nodes),
         prim_id=jnp.asarray(prim_id),
-        leaf_start=jnp.asarray(P - 1, jnp.int32),
+        n_tris=jnp.asarray(T, jnp.int32),
+    )
+
+
+def _pad_to_packets(a, pad_r: int, fill):
+    if pad_r == 0:
+        return a
+    return jnp.concatenate(
+        [a, jnp.full((pad_r,) + a.shape[1:], fill, a.dtype)], axis=0
     )
 
 
 def _traverse(bvh: BVH, o, d, t_min, t_max, any_hit: bool, max_steps: int):
-    """Shared wavefront traversal core.  o, d: (R,3); t_min/t_max: (R,)."""
+    """Packet traversal core.  o, d: (R, 3); t_min/t_max: (R,).
+
+    Rays are grouped into packets of 128 consecutive entries sharing one node
+    cursor; all per-ray quantities are (P, 128) so every VPU op runs at full
+    lane occupancy and each step costs one (P,)-row gather.
+    """
     R = o.shape[0]
-    inv_d = safe_inv_dir(d)
-    leaf_size = LEAF_SIZE
-    leaf_start = bvh.leaf_start
+    n_pkt = -(-R // PACKET)
+    pad_r = n_pkt * PACKET - R
+
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (R,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
+    o = _pad_to_packets(o, pad_r, 0.0)
+    d = _pad_to_packets(d, pad_r, 1.0)
+    t_min = _pad_to_packets(t_min, pad_r, 0.0)
+    t_max = _pad_to_packets(t_max, pad_r, -1.0)  # dead rays: t_max < t_min
+
+    def comp(a, k):
+        return a[:, k].reshape(n_pkt, PACKET)
+
+    ox, oy, oz = comp(o, 0), comp(o, 1), comp(o, 2)
+    dx, dy, dz = comp(d, 0), comp(d, 1), comp(d, 2)
+    t_min = t_min.reshape(n_pkt, PACKET)
+    t_max = t_max.reshape(n_pkt, PACKET)
+
+    def inv(c):
+        s = jnp.where(c >= 0.0, 1.0, -1.0)
+        return s / jnp.maximum(jnp.abs(c), 1e-12)
+
+    ix, iy, iz = inv(dx), inv(dy), inv(dz)
 
     init = (
-        jnp.zeros(R, jnp.int32),                    # node cursor
-        jnp.asarray(t_max, jnp.float32) + jnp.zeros(R, jnp.float32),
-        jnp.full(R, -1, jnp.int32),                 # padded-tri slot of best hit
-        jnp.zeros(R, jnp.float32),                  # u
-        jnp.zeros(R, jnp.float32),                  # v
-        jnp.int32(0),                               # step counter
+        jnp.zeros(n_pkt, jnp.int32),                    # per-packet node cursor
+        t_max,
+        jnp.full((n_pkt, PACKET), -1, jnp.int32),       # best padded-tri slot
+        jnp.zeros((n_pkt, PACKET), jnp.float32),        # u
+        jnp.zeros((n_pkt, PACKET), jnp.float32),        # v
+        jnp.int32(0),
     )
 
     def cond(state):
@@ -180,44 +227,96 @@ def _traverse(bvh: BVH, o, d, t_min, t_max, any_hit: bool, max_steps: int):
         node, t_best, tri_best, u_best, v_best, step = state
         live = node >= 0
         nid = jnp.maximum(node, 0)
-        hit_box, _ = ray_aabb(o, inv_d, t_min, t_best, bvh.bmin[nid], bvh.bmax[nid])
-        hit_box = hit_box & live
-        is_leaf = nid >= leaf_start
 
-        do_tris = hit_box & is_leaf
-        first = jnp.maximum(nid - leaf_start, 0) * leaf_size
-        for k in range(leaf_size):
-            slot = first + k
-            h, tk, uk, vk = ray_triangle(
-                o, d, bvh.v0[slot], bvh.e1[slot], bvh.e2[slot], t_min, t_best
+        row = bvh.nodes[nid]                       # ONE gather: (n_pkt, 64)
+        col = lambda i: row[:, i : i + 1]          # (n_pkt, 1) -> broadcast
+
+        # slab test for all 128 packet rays
+        tx0 = (col(0) - ox) * ix
+        tx1 = (col(3) - ox) * ix
+        ty0 = (col(1) - oy) * iy
+        ty1 = (col(4) - oy) * iy
+        tz0 = (col(2) - oz) * iz
+        tz1 = (col(5) - oz) * iz
+        t_near = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.minimum(tz0, tz1),
+        )
+        t_far = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.maximum(tz0, tz1),
+        )
+        ray_hit = (t_near <= t_far) & (t_far >= t_min) & (t_near <= t_best)
+        pkt_hit = jnp.any(ray_hit, axis=1) & live
+
+        miss = jax.lax.bitcast_convert_type(row[:, 6], jnp.int32)
+        leaf_first = jax.lax.bitcast_convert_type(row[:, 7], jnp.int32)
+        is_leaf = leaf_first >= 0
+
+        do_tris = (pkt_hit & is_leaf)[:, None] & ray_hit
+        for k in range(LEAF_SIZE):
+            b = 8 + k * 12
+            v0x, v0y, v0z = col(b), col(b + 1), col(b + 2)
+            e1x, e1y, e1z = col(b + 3), col(b + 4), col(b + 5)
+            e2x, e2y, e2z = col(b + 6), col(b + 7), col(b + 8)
+            # Moller-Trumbore against all packet rays
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+            tvx = ox - v0x
+            tvy = oy - v0y
+            tvz = oz - v0z
+            uk = (tvx * px + tvy * py + tvz * pz) * inv_det
+            qx = tvy * e1z - tvz * e1y
+            qy = tvz * e1x - tvx * e1z
+            qz = tvx * e1y - tvy * e1x
+            vk = (dx * qx + dy * qy + dz * qz) * inv_det
+            tk = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            h = (
+                (jnp.abs(det) > 1e-12)
+                & (uk >= 0.0)
+                & (vk >= 0.0)
+                & (uk + vk <= 1.0)
+                & (tk > t_min)
             )
-            h = h & do_tris
-            closer = h & (tk < t_best)
+            closer = h & do_tris & (tk < t_best)
             t_best = jnp.where(closer, tk, t_best)
+            slot = (leaf_first[:, None] * LEAF_SIZE + k).astype(jnp.int32)
             tri_best = jnp.where(closer, slot, tri_best)
             u_best = jnp.where(closer, uk, u_best)
             v_best = jnp.where(closer, vk, v_best)
 
-        nxt = jnp.where(hit_box & ~is_leaf, 2 * nid + 1, bvh.miss[nid])
+        nxt = jnp.where(pkt_hit & ~is_leaf, 2 * nid + 1, miss)
         node = jnp.where(live, nxt, node)
         if any_hit:
-            node = jnp.where(tri_best >= 0, -1, node)
+            # retire the packet once every LIVE ray found an occluder
+            need = (t_max >= t_min) & (tri_best < 0)
+            node = jnp.where(jnp.any(need, axis=1), node, -1)
         return node, t_best, tri_best, u_best, v_best, step + 1
 
     _, t, tri_slot, u, v = jax.lax.while_loop(cond, body, init)[:5]
+
+    def flat(a):
+        return a.reshape(n_pkt * PACKET)[:R]
+
+    t, tri_slot, u, v = flat(t), flat(tri_slot), flat(u), flat(v)
     tri = jnp.where(tri_slot >= 0, bvh.prim_id[jnp.maximum(tri_slot, 0)], -1)
     return HitRecord(tri=tri, t=t, u=u, v=v), tri_slot
 
 
 def closest_hit(bvh: BVH, o, d, t_min, t_max, max_steps: int = 100_000):
     """Closest-hit query over a flat ray stream
-    (ref traceray_rq.glsl:108-147 ClosestHit)."""
+    (ref traceray_rq.glsl:108-147 ClosestHit).  Rays should be ordered
+    coherently (consecutive 128 rays share a traversal cursor)."""
     rec, _ = _traverse(bvh, o, d, t_min, t_max, any_hit=False, max_steps=max_steps)
     return rec
 
 
 def any_hit(bvh: BVH, o, d, t_min, t_max, max_steps: int = 100_000):
     """Occlusion query: returns bool (R,) occluded
-    (ref traceray_rq.glsl:153-185 AnyHit, terminate-on-first-hit)."""
+    (ref traceray_rq.glsl:153-185 AnyHit, packet retires when all members
+    are resolved)."""
     rec, _ = _traverse(bvh, o, d, t_min, t_max, any_hit=True, max_steps=max_steps)
     return rec.tri >= 0
