@@ -8,10 +8,9 @@ Design (measured-in, not a translation):
 - Geometry is flattened to world space at load (the reference's scenes are
   static; instancing is applied on the host like the TLAS instance
   transforms, accelstruct.cpp:132-162).
-- The tree is a complete binary heap over Morton-sorted triangles with fixed
-  leaf width.  Completeness gives analytic preorder "miss" links, so
-  traversal is STACKLESS:  hit internal -> left child (2i+1); miss or
-  leaf -> miss[i].
+- Topology is binned SAH (ops/bvh_build.py), flattened to PREORDER with
+  escape links, so traversal is STACKLESS:  hit internal -> i+1; miss or
+  leaf -> escape[i].
 - PACKET TRAVERSAL: TPU row-gathers cost ~5 ns per ROW regardless of width,
   so per-ray cursors are gather-bound.  Instead, 128 coherent rays share ONE
   node cursor (a "packet"); the packet advances if ANY member ray hits the
@@ -34,10 +33,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-LEAF_SIZE = 4
+LEAF_SIZE = 8
 PACKET = 128
 _BIG = 1e30
-_ROW = 64  # floats per node row: 6 aabb + 2 links + 48 tri + 8 pad
+_ROW = 8 + LEAF_SIZE * 12  # 6 aabb + 2 links + 8 triangles x (v0,e1,e2,pad)
 
 
 class BVH(NamedTuple):
@@ -73,30 +72,18 @@ def morton3d(p01: np.ndarray) -> np.ndarray:
     )
 
 
-def _miss_links(num_nodes: int) -> np.ndarray:
-    """Preorder escape links for a complete heap-ordered binary tree:
-    miss[0] = -1; a left child's escape is its right sibling; a right
-    child's escape is its parent's escape (computed level by level)."""
-    miss = np.full(num_nodes, -1, np.int64)
-    level_start = 1
-    while level_start < num_nodes:
-        level_end = min(2 * level_start + 1, num_nodes)
-        idx = np.arange(level_start, level_end)
-        is_left = (idx % 2) == 1
-        parent = (idx - 1) // 2
-        miss[idx] = np.where(is_left, idx + 1, miss[parent])
-        level_start = level_end
-    return miss.astype(np.int32)
-
-
 def build_bvh(
     v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, leaf_size: int = LEAF_SIZE
 ) -> BVH:
     """Build the threaded BVH on the host (load-time, like the reference's
-    one-shot BLAS build, accelstruct.cpp:55-65).
+    one-shot FAST_TRACE BLAS build, accelstruct.cpp:55-65): binned-SAH
+    topology, flattened to preorder with escape links so the device walk is
+    `hit internal -> i+1; miss/leaf -> escape[i]`.
 
     v0/v1/v2: (T, 3) world-space triangle vertices (float32).
     """
+    from .bvh_build import build_sah_topology, flatten_preorder
+
     assert leaf_size == LEAF_SIZE
     v0 = np.asarray(v0, np.float32)
     v1 = np.asarray(v1, np.float32)
@@ -104,64 +91,35 @@ def build_bvh(
     T = v0.shape[0]
     assert T > 0, "empty scene"
 
-    centroid = (v0 + v1 + v2) / 3.0
-    lo = centroid.min(axis=0)
-    hi = centroid.max(axis=0)
-    extent = np.maximum(hi - lo, 1e-12)
-    codes = morton3d((centroid - lo) / extent)
-    order = np.argsort(codes, kind="stable").astype(np.int64)
+    tb_min = np.minimum(np.minimum(v0, v1), v2)
+    tb_max = np.maximum(np.maximum(v0, v1), v2)
+    centroid = (tb_min + tb_max) * 0.5
 
-    num_leaves = -(-T // leaf_size)
-    P = 1 << max(0, int(np.ceil(np.log2(max(num_leaves, 1)))))
-    cap = P * leaf_size
+    lefts, rights, n_bmin, n_bmax, node_tris = build_sah_topology(
+        tb_min, tb_max, centroid, leaf_size
+    )
+    bmin, bmax, escape, blk, leaf_tris = flatten_preorder(
+        lefts, rights, n_bmin, n_bmax, node_tris, leaf_size
+    )
 
-    pad = cap - T
-    sv0 = np.concatenate([v0[order], np.zeros((pad, 3), np.float32)])
-    sv1 = np.concatenate([v1[order], np.zeros((pad, 3), np.float32)])
-    sv2 = np.concatenate([v2[order], np.zeros((pad, 3), np.float32)])
-    prim_id = np.concatenate([order.astype(np.int32), np.full(pad, -1, np.int32)])
-    valid = prim_id >= 0
+    n_nodes = bmin.shape[0]
+    n_leaves = len(leaf_tris)
+    prim_id = np.full(n_leaves * leaf_size, -1, np.int32)
+    blocks = np.zeros((n_leaves, leaf_size, 12), np.float32)
+    for b, tris in enumerate(leaf_tris):
+        k = tris.size
+        prim_id[b * leaf_size : b * leaf_size + k] = tris
+        blocks[b, :k, 0:3] = v0[tris]
+        blocks[b, :k, 3:6] = v1[tris] - v0[tris]
+        blocks[b, :k, 6:9] = v2[tris] - v0[tris]
 
-    tmin = np.minimum(np.minimum(sv0, sv1), sv2)
-    tmax = np.maximum(np.maximum(sv0, sv1), sv2)
-    tmin = np.where(valid[:, None], tmin, _BIG)
-    tmax = np.where(valid[:, None], tmax, -_BIG)
-
-    leaf_bmin = tmin.reshape(P, leaf_size, 3).min(axis=1)
-    leaf_bmax = tmax.reshape(P, leaf_size, 3).max(axis=1)
-
-    N = 2 * P - 1
-    bmin = np.full((N, 3), _BIG, np.float32)
-    bmax = np.full((N, 3), -_BIG, np.float32)
-    bmin[P - 1:] = leaf_bmin
-    bmax[P - 1:] = leaf_bmax
-    level_start = P - 1
-    while level_start > 0:
-        parent_start = (level_start - 1) // 2
-        parents = np.arange(parent_start, level_start)
-        l, r = 2 * parents + 1, 2 * parents + 2
-        bmin[parents] = np.minimum(bmin[l], bmin[r])
-        bmax[parents] = np.maximum(bmax[l], bmax[r])
-        level_start = parent_start
-
-    miss = _miss_links(N)
-    leaf_first = np.full(N, -1, np.int32)
-    leaf_first[P - 1:] = np.arange(P, dtype=np.int32)
-
-    e1 = (sv1 - sv0).reshape(P, leaf_size, 3)
-    e2 = (sv2 - sv0).reshape(P, leaf_size, 3)
-    tv0 = sv0.reshape(P, leaf_size, 3)
-    blocks = np.zeros((P, leaf_size, 12), np.float32)
-    blocks[:, :, 0:3] = tv0
-    blocks[:, :, 3:6] = e1
-    blocks[:, :, 6:9] = e2
-
-    nodes = np.zeros((N, _ROW), np.float32)
+    nodes = np.zeros((n_nodes, _ROW), np.float32)
     nodes[:, 0:3] = bmin
     nodes[:, 3:6] = bmax
-    nodes[:, 6] = miss.view(np.float32)
-    nodes[:, 7] = leaf_first.view(np.float32)
-    nodes[P - 1:, 8:56] = blocks.reshape(P, leaf_size * 12)
+    nodes[:, 6] = escape.astype(np.int32).view(np.float32)
+    nodes[:, 7] = blk.astype(np.int32).view(np.float32)
+    is_leaf = blk >= 0
+    nodes[is_leaf, 8:] = blocks.reshape(n_leaves, leaf_size * 12)
 
     return BVH(
         nodes=jnp.asarray(nodes),
@@ -288,7 +246,7 @@ def _traverse(bvh: BVH, o, d, t_min, t_max, any_hit: bool, max_steps: int):
             u_best = jnp.where(closer, uk, u_best)
             v_best = jnp.where(closer, vk, v_best)
 
-        nxt = jnp.where(pkt_hit & ~is_leaf, 2 * nid + 1, miss)
+        nxt = jnp.where(pkt_hit & ~is_leaf, nid + 1, miss)
         node = jnp.where(live, nxt, node)
         if any_hit:
             # retire the packet once every LIVE ray found an occluder

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..ops import reservoir as resv
 from ..ops import rng as erng
-from ..ops.bvh import any_hit, closest_hit
+from ..ops.packets import any_hit_img, closest_hit_img
 from ..ops.math import (
     clamp_radiance,
     dot3,
@@ -154,16 +154,12 @@ def direct_stage(
 
     # --- primary hit ------------------------------------------------- K1:280
     rng_state, o, d = spawn_rays(cam, h, w, rng_state)
-    rec = closest_hit(
-        scene.bvh, o.reshape(-1, 3), d.reshape(-1, 3),
-        jnp.full(R, _TMIN), jnp.full(R, _TMAX),
+    rec = closest_hit_img(
+        scene.bvh, o, d, jnp.full((h, w), _TMIN), jnp.full((h, w), _TMAX),
         max_steps=cfg.traversal_max_steps,
     )
-    t_hit = rec.t.reshape(h, w)
-    state = get_state(
-        scene, o, d, rec.tri.reshape(h, w), t_hit,
-        rec.u.reshape(h, w), rec.v.reshape(h, w),
-    )
+    t_hit = rec.t
+    state = get_state(scene, o, d, rec.tri, t_hit, rec.u, rec.v)
     wo = -d
 
     # --- emission / env passthrough ------------------------------ K1:154-174
@@ -206,11 +202,11 @@ def direct_stage(
         jnp.where(dot3(state.geo_nrm, sel["wi"])[..., None] >= 0,
                   state.geo_nrm, -state.geo_nrm),
     )
-    occluded = any_hit(
-        scene.bvh, origin.reshape(-1, 3), sel["wi"].reshape(-1, 3),
-        jnp.full(R, _TMIN), (sel["dist"] * 0.999).reshape(-1),
+    occluded = any_hit_img(
+        scene.bvh, origin, sel["wi"],
+        jnp.full((h, w), _TMIN), sel["dist"] * 0.999,
         max_steps=cfg.traversal_max_steps,
-    ).reshape(h, w)
+    )
     r["weight"] = jnp.where(occluded | ~state.valid, 0.0, r["weight"])
 
     # --- temporal reuse ------------------------------------- K1:47-84,209-217

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..ops import reservoir as resv
 from ..ops import rng as erng
-from ..ops.bvh import closest_hit
+from ..ops.packets import closest_hit_img
 from ..ops.math import (
     clamp_radiance,
     dot3,
@@ -140,16 +140,13 @@ def indirect_stage(
     gen_ok = surf.valid & (p1 > 1e-9) & (wi_l[..., 2] > 0.0)
 
     origin = offset_ray(surf.pos, surf.nrm)
-    rec = closest_hit(
-        scene.bvh, origin.reshape(-1, 3), d1.reshape(-1, 3),
-        jnp.full(R, _TMIN), jnp.full(R, _TMAX),
+    rec = closest_hit_img(
+        scene.bvh, origin, d1,
+        jnp.full((h2, w2), _TMIN), jnp.full((h2, w2), _TMAX),
         max_steps=cfg.traversal_max_steps,
     )
-    tri1 = rec.tri.reshape(h2, w2)
-    xs_state = get_state(
-        scene, origin, d1, tri1, rec.t.reshape(h2, w2),
-        rec.u.reshape(h2, w2), rec.v.reshape(h2, w2),
-    )
+    tri1 = rec.tri
+    xs_state = get_state(scene, origin, d1, tri1, rec.t, rec.u, rec.v)
     hit1 = xs_state.valid & gen_ok
     escaped1 = (~xs_state.valid) & gen_ok
 

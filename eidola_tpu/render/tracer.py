@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from ..ops import rng as erng
 from ..ops.bvh import any_hit, closest_hit
+from ..ops.packets import any_hit_img, closest_hit_img
 from ..ops.math import (
     dot3,
     make_frame,
@@ -68,14 +69,21 @@ def nee_contribution(cfg: RenderConfig, scene: SceneData, params: RenderParams,
     contrib_ok = state.valid & (ls.pdf > 1e-12) & (cos_i > 0.0)
     origin = offset_ray(state.pos, jnp.where(
         dot3(state.geo_nrm, ls.wi)[..., None] >= 0, state.geo_nrm, -state.geo_nrm))
-    occluded = any_hit(
-        scene.bvh,
-        origin.reshape(-1, 3),
-        ls.wi.reshape(-1, 3),
-        jnp.full(lanes.shape[0], _TMIN),
-        (ls.dist * 0.999).reshape(-1),
-        max_steps=cfg.traversal_max_steps,
-    ).reshape(state.valid.shape)
+    if state.valid.ndim == 2:
+        occluded = any_hit_img(
+            scene.bvh, origin, ls.wi,
+            jnp.full(state.valid.shape, _TMIN), ls.dist * 0.999,
+            max_steps=cfg.traversal_max_steps,
+        )
+    else:
+        occluded = any_hit(
+            scene.bvh,
+            origin.reshape(-1, 3),
+            ls.wi.reshape(-1, 3),
+            jnp.full(lanes.shape[0], _TMIN),
+            (ls.dist * 0.999).reshape(-1),
+            max_steps=cfg.traversal_max_steps,
+        ).reshape(state.valid.shape)
 
     if cfg.use_mis:
         bsdf_pdf_wi = pdf_bsdf(state.bsdf(), wo_l, wi_l)
@@ -139,19 +147,30 @@ def trace_radiance(
         if depth == 0 and state is not None:
             pass  # start from the provided surface
         else:
-            rec = closest_hit(
-                scene.bvh,
-                cur_o.reshape(-1, 3),
-                cur_d.reshape(-1, 3),
-                jnp.full(R, _TMIN),
-                jnp.full(R, _TMAX),
-                max_steps=cfg.traversal_max_steps,
-            )
-            tri = rec.tri.reshape(shape)
-            state = get_state(
-                scene, cur_o, cur_d, tri, rec.t.reshape(shape),
-                rec.u.reshape(shape), rec.v.reshape(shape),
-            )
+            if len(shape) == 2:
+                rec = closest_hit_img(
+                    scene.bvh, cur_o, cur_d,
+                    jnp.full(shape, _TMIN), jnp.full(shape, _TMAX),
+                    max_steps=cfg.traversal_max_steps,
+                )
+                tri = rec.tri
+                state = get_state(scene, cur_o, cur_d, tri, rec.t, rec.u, rec.v)
+                rec_t = rec.t
+            else:
+                rec = closest_hit(
+                    scene.bvh,
+                    cur_o.reshape(-1, 3),
+                    cur_d.reshape(-1, 3),
+                    jnp.full(R, _TMIN),
+                    jnp.full(R, _TMAX),
+                    max_steps=cfg.traversal_max_steps,
+                )
+                tri = rec.tri.reshape(shape)
+                rec_t = rec.t.reshape(shape)
+                state = get_state(
+                    scene, cur_o, cur_d, tri, rec_t,
+                    rec.u.reshape(shape), rec.v.reshape(shape),
+                )
             wo = -cur_d
 
             escaped = alive & ~state.valid
@@ -176,7 +195,7 @@ def trace_radiance(
             if cfg.use_mis and cfg.use_nee and depth > nee_start_depth:
                 cos_l = jnp.abs(dot3(state.geo_nrm, wo))
                 lp = light_pdf_for_bsdf_dir(
-                    cfg, scene, params, cur_d, tri, rec.t.reshape(shape), cos_l
+                    cfg, scene, params, cur_d, tri, rec_t, cos_l
                 )
                 w_em = power_heuristic(last_bsdf_pdf, lp)
             elif cfg.use_nee and depth > nee_start_depth:
