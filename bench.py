@@ -1,0 +1,65 @@
+"""Headline benchmark: full ReSTIR DI+GI+denoise frame at 1080p.
+
+Mirrors the reference's published benchmark (BASELINE.md: Bistro Exterior,
+1920x1080, ReSTIR DI+GI + a-trous denoise, 18.2 ms/frame total on an RTX
+3070 Ti Laptop).  Offline environment has no Bistro asset, so the triangle
+load is a procedural stand-in scene (sphere grid + ground, see
+eidola_tpu/models/scenes.py: stress_grid).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline = reference_ms / our_ms (>1 means faster than the reference).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+
+BASELINE_MS = 18.2  # reference total frame, Bistro Exterior 1080p (BASELINE.md)
+W, H = 1920, 1080
+WARMUP = 2
+ITERS = 5
+
+
+def main():
+    from eidola_tpu.models.scenes import stress_grid
+    from eidola_tpu.render.config import (
+        RenderConfig,
+        default_params,
+        default_tonemap,
+    )
+    from eidola_tpu.render.frame import init_frame_state, render_frame
+
+    scene, cam = stress_grid(16)
+    n_tris = int(scene.bvh.n_tris)
+
+    # Reference config: maxDepth 4, RIS M=4, temporal reuse, 4/5 denoise
+    # levels (BASELINE.md "algorithm constants").
+    cfg = RenderConfig(width=W, height=H, max_depth=4, env_mode="sunsky")
+    params, tm = default_params(), default_tonemap()
+    state = init_frame_state(cfg, cam)
+
+    step = jax.jit(lambda sc, c, p, t, st: render_frame(cfg, sc, c, p, t, st))
+
+    for _ in range(WARMUP):
+        state, out = step(scene, cam, params, tm, state)
+    jax.block_until_ready(out["image"])
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        state, out = step(scene, cam, params, tm, state)
+    jax.block_until_ready(out["image"])
+    ms = (time.perf_counter() - t0) / ITERS * 1e3
+
+    print(json.dumps({
+        "metric": f"restir_di_gi_denoise_1080p_ms ({n_tris} tris, "
+                  f"{jax.devices()[0].device_kind})",
+        "value": round(ms, 2),
+        "unit": "ms/frame",
+        "vs_baseline": round(BASELINE_MS / ms, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
