@@ -70,7 +70,16 @@ def build_alias_table_np(weights: np.ndarray):
 
 
 def make_alias_table(weights: np.ndarray) -> tuple[AliasTable, float]:
-    alias, q, pdf, alias_pdf, total = build_alias_table_np(weights)
+    from ..native import build_alias_native
+
+    w = np.asarray(weights, np.float64).ravel()
+    out = build_alias_native(w) if w.size else None
+    if out is not None:
+        alias, q, pdf, alias_pdf, total = out
+        if w.size == 0 or total <= 0.0:
+            alias, q, pdf, alias_pdf, total = build_alias_table_np(weights)
+    else:
+        alias, q, pdf, alias_pdf, total = build_alias_table_np(weights)
     return (
         AliasTable(
             jnp.asarray(alias), jnp.asarray(q), jnp.asarray(pdf), jnp.asarray(alias_pdf)

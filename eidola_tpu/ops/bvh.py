@@ -11,19 +11,24 @@ Design (measured-in, not a translation):
 - Topology is binned SAH (ops/bvh_build.py), flattened to PREORDER with
   escape links, so traversal is STACKLESS:  hit internal -> i+1; miss or
   leaf -> escape[i].
-- PACKET TRAVERSAL: TPU row-gathers cost ~5 ns per ROW regardless of width,
-  so per-ray cursors are gather-bound.  Instead, 128 coherent rays share ONE
-  node cursor (a "packet"); the packet advances if ANY member ray hits the
-  node box.  Per step this is a single (P,)-row gather plus dense (P, 128)
-  vector math — full 8x128 VPU lane occupancy, 128x fewer gathers.  Callers
-  should order rays coherently (image tiles); `closest_hit` packs a flat ray
-  stream row-major.
-- ONE GATHER PER STEP: each 64-float node row carries bmin/bmax, the miss
-  and leaf links as bitcast int32, AND the leaf's four triangles as
-  (v0, e1, e2) so leaf steps need no second fetch.
-- Empty padding leaves carry inverted AABBs and degenerate triangles, so
-  they are culled by the slab test and can never produce hits; padded rays
-  (t_max <= 0) never hit anything.
+- PACKET TRAVERSAL: TPU row-gathers cost ~the same per ROW regardless of
+  width, so per-ray cursors are gather-bound.  Instead, 128 coherent rays
+  share ONE node cursor (a "packet"); the packet advances if ANY member ray
+  hits the node box.  Per step this is a single (P, 8)-row gather plus dense
+  (P, 128) vector math — full 8x128 VPU lane occupancy.
+- DEFERRED LEAF INTERSECTION: measured on TPU v5e, inline Moller-Trumbore at
+  every step is ~80% of traversal time while only ~10% of steps visit a
+  leaf.  The walk therefore only records (packet, leaf) EVENTS into a
+  bounded per-packet queue; when any queue fills (or the walk ends) the
+  queue is drained as a COMPACTED event list: chunks of C events, one
+  8-triangle MT test per event at full lane occupancy, folded per packet
+  with a segmented prefix-min scan.  Intersection work is proportional to
+  actual leaf visits, not steps.
+- Draining tightens per-ray t_best between walk rounds, so the walk prunes
+  nodes beyond the closest hit found so far; resolved occlusion rays get
+  t_best = -inf which retires them from the slab test entirely.
+- Empty padding leaves carry degenerate triangles (zero extent) that can
+  never produce hits; padded rays (t_max <= 0) never hit anything.
 """
 from __future__ import annotations
 
@@ -33,16 +38,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-LEAF_SIZE = 8
+LEAF_SIZE_TPU = 32  # measured best on v5e: shallower walk, MT stays drained
+LEAF_SIZE_CPU = 8   # smaller unroll keeps XLA:CPU compile/test time sane
 PACKET = 128
+QUEUE = 32          # leaf events buffered per packet between drains
+CHUNK = 4096        # events intersected per drain step
 _BIG = 1e30
-_ROW = 8 + LEAF_SIZE * 12  # 6 aabb + 2 links + 8 triangles x (v0,e1,e2,pad)
 
 
 class BVH(NamedTuple):
-    nodes: jnp.ndarray     # (N, 64) f32 packed node+leaf rows (see build_bvh)
-    prim_id: jnp.ndarray   # (P*LEAF,) i32 original triangle id (-1 = pad)
-    n_tris: jnp.ndarray    # () i32 true triangle count
+    walk: jnp.ndarray         # (N, 8) f32: bmin, bmax, miss-link, leaf-id (bitcast i32)
+    leaf_blocks: jnp.ndarray  # (L, leaf_size*12) f32: (v0, e1, e2, pad) per tri
+    prim_id: jnp.ndarray      # (L*leaf_size,) i32 original triangle id (-1 = pad)
+    n_tris: jnp.ndarray       # () i32 true triangle count
 
 
 class HitRecord(NamedTuple):
@@ -73,7 +81,8 @@ def morton3d(p01: np.ndarray) -> np.ndarray:
 
 
 def build_bvh(
-    v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, leaf_size: int = LEAF_SIZE
+    v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
+    leaf_size: int | None = None,
 ) -> BVH:
     """Build the threaded BVH on the host (load-time, like the reference's
     one-shot FAST_TRACE BLAS build, accelstruct.cpp:55-65): binned-SAH
@@ -84,7 +93,11 @@ def build_bvh(
     """
     from .bvh_build import build_sah_topology, flatten_preorder
 
-    assert leaf_size == LEAF_SIZE
+    if leaf_size is None:
+        leaf_size = (
+            LEAF_SIZE_TPU if jax.default_backend() not in ("cpu",)
+            else LEAF_SIZE_CPU
+        )
     v0 = np.asarray(v0, np.float32)
     v1 = np.asarray(v1, np.float32)
     v2 = np.asarray(v2, np.float32)
@@ -95,12 +108,18 @@ def build_bvh(
     tb_max = np.maximum(np.maximum(v0, v1), v2)
     centroid = (tb_min + tb_max) * 0.5
 
-    lefts, rights, n_bmin, n_bmax, node_tris = build_sah_topology(
-        tb_min, tb_max, centroid, leaf_size
-    )
-    bmin, bmax, escape, blk, leaf_tris = flatten_preorder(
-        lefts, rights, n_bmin, n_bmax, node_tris, leaf_size
-    )
+    from ..native import build_bvh_native
+
+    native = build_bvh_native(tb_min, tb_max, centroid, leaf_size)
+    if native is not None:
+        bmin, bmax, escape, blk, leaf_tris = native
+    else:
+        lefts, rights, n_bmin, n_bmax, node_tris = build_sah_topology(
+            tb_min, tb_max, centroid, leaf_size
+        )
+        bmin, bmax, escape, blk, leaf_tris = flatten_preorder(
+            lefts, rights, n_bmin, n_bmax, node_tris, leaf_size
+        )
 
     n_nodes = bmin.shape[0]
     n_leaves = len(leaf_tris)
@@ -113,16 +132,15 @@ def build_bvh(
         blocks[b, :k, 3:6] = v1[tris] - v0[tris]
         blocks[b, :k, 6:9] = v2[tris] - v0[tris]
 
-    nodes = np.zeros((n_nodes, _ROW), np.float32)
-    nodes[:, 0:3] = bmin
-    nodes[:, 3:6] = bmax
-    nodes[:, 6] = escape.astype(np.int32).view(np.float32)
-    nodes[:, 7] = blk.astype(np.int32).view(np.float32)
-    is_leaf = blk >= 0
-    nodes[is_leaf, 8:] = blocks.reshape(n_leaves, leaf_size * 12)
+    walk = np.zeros((n_nodes, 8), np.float32)
+    walk[:, 0:3] = bmin
+    walk[:, 3:6] = bmax
+    walk[:, 6] = escape.astype(np.int32).view(np.float32)
+    walk[:, 7] = blk.astype(np.int32).view(np.float32)
 
     return BVH(
-        nodes=jnp.asarray(nodes),
+        walk=jnp.asarray(walk),
+        leaf_blocks=jnp.asarray(blocks.reshape(n_leaves, leaf_size * 12)),
         prim_id=jnp.asarray(prim_id),
         n_tris=jnp.asarray(T, jnp.int32),
     )
@@ -136,12 +154,59 @@ def _pad_to_packets(a, pad_r: int, fill):
     )
 
 
+def _mt_block(row, ox, oy, oz, dx, dy, dz, t_min, t_lim):
+    """Leaf-block Moller-Trumbore for one leaf row per event.
+
+    row: (C, leaf_size*12); ray components: (C, PACKET).  Returns the
+    per-event best (t, slot-in-leaf k, u, v) with t = _BIG where nothing
+    hit."""
+    leaf_size = row.shape[1] // 12
+    col = lambda i: row[:, i : i + 1]
+    t_b = jnp.full(ox.shape, _BIG, jnp.float32)
+    k_b = jnp.zeros(ox.shape, jnp.int32)
+    u_b = jnp.zeros(ox.shape, jnp.float32)
+    v_b = jnp.zeros(ox.shape, jnp.float32)
+    for k in range(leaf_size):
+        b = k * 12
+        v0x, v0y, v0z = col(b), col(b + 1), col(b + 2)
+        e1x, e1y, e1z = col(b + 3), col(b + 4), col(b + 5)
+        e2x, e2y, e2z = col(b + 6), col(b + 7), col(b + 8)
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+        tvx = ox - v0x
+        tvy = oy - v0y
+        tvz = oz - v0z
+        uk = (tvx * px + tvy * py + tvz * pz) * inv_det
+        qx = tvy * e1z - tvz * e1y
+        qy = tvz * e1x - tvx * e1z
+        qz = tvx * e1y - tvy * e1x
+        vk = (dx * qx + dy * qy + dz * qz) * inv_det
+        tk = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+        h = (
+            (jnp.abs(det) > 1e-12)
+            & (uk >= 0.0)
+            & (vk >= 0.0)
+            & (uk + vk <= 1.0)
+            & (tk > t_min)
+            & (tk < t_lim)
+            & (tk < t_b)
+        )
+        t_b = jnp.where(h, tk, t_b)
+        k_b = jnp.where(h, k, k_b)
+        u_b = jnp.where(h, uk, u_b)
+        v_b = jnp.where(h, vk, v_b)
+    return t_b, k_b, u_b, v_b
+
+
 def _traverse(bvh: BVH, o, d, t_min, t_max, any_hit: bool, max_steps: int):
     """Packet traversal core.  o, d: (R, 3); t_min/t_max: (R,).
 
     Rays are grouped into packets of 128 consecutive entries sharing one node
-    cursor; all per-ray quantities are (P, 128) so every VPU op runs at full
-    lane occupancy and each step costs one (P,)-row gather.
+    cursor.  The walk is slab-only; leaf visits are queued and intersected in
+    compacted event chunks (see module docstring).
     """
     R = o.shape[0]
     n_pkt = -(-R // PACKET)
@@ -167,100 +232,160 @@ def _traverse(bvh: BVH, o, d, t_min, t_max, any_hit: bool, max_steps: int):
         return s / jnp.maximum(jnp.abs(c), 1e-12)
 
     ix, iy, iz = inv(dx), inv(dy), inv(dz)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (n_pkt, QUEUE), 1)
+
+    def walk_rounds(carry):
+        (node, t_best, tri_best, u_best, v_best, queue, cnt, step) = carry
+
+        def w_cond(c):
+            node, cnt, step = c[0], c[6], c[7]
+            return jnp.any(node >= 0) & jnp.all(cnt < QUEUE) & (step < max_steps)
+
+        def w_body(c):
+            node, t_best, tri_best, u_best, v_best, queue, cnt, step = c
+            live = node >= 0
+            nid = jnp.maximum(node, 0)
+            row = bvh.walk[nid]                       # ONE gather: (n_pkt, 8)
+            col = lambda i: row[:, i : i + 1]
+            tx0 = (col(0) - ox) * ix
+            tx1 = (col(3) - ox) * ix
+            ty0 = (col(1) - oy) * iy
+            ty1 = (col(4) - oy) * iy
+            tz0 = (col(2) - oz) * iz
+            tz1 = (col(5) - oz) * iz
+            t_near = jnp.maximum(
+                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                jnp.minimum(tz0, tz1),
+            )
+            t_far = jnp.minimum(
+                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                jnp.maximum(tz0, tz1),
+            )
+            ray_hit = (t_near <= t_far) & (t_far >= t_min) & (t_near <= t_best)
+            pkt_hit = jnp.any(ray_hit, axis=1) & live
+
+            miss = jax.lax.bitcast_convert_type(row[:, 6], jnp.int32)
+            leaf_id = jax.lax.bitcast_convert_type(row[:, 7], jnp.int32)
+            is_leaf = leaf_id >= 0
+
+            push = pkt_hit & is_leaf
+            queue = jnp.where(
+                (push & (cnt <= QUEUE - 1))[:, None] & (k_iota == cnt[:, None]),
+                leaf_id[:, None],
+                queue,
+            )
+            cnt = cnt + push.astype(jnp.int32)
+
+            nxt = jnp.where(pkt_hit & ~is_leaf, nid + 1, miss)
+            node = jnp.where(live, nxt, node)
+            return (node, t_best, tri_best, u_best, v_best, queue, cnt,
+                    step + 1)
+
+        return jax.lax.while_loop(
+            w_cond, w_body,
+            (node, t_best, tri_best, u_best, v_best, queue, cnt, step),
+        )
+
+    def drain(carry):
+        node, t_best, tri_best, u_best, v_best, queue, cnt, step = carry
+        offsets = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(cnt, dtype=jnp.int32)]
+        )
+        total = offsets[-1]
+        c_iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)[:, 0]
+
+        def d_cond(c):
+            return c[0] * CHUNK < total
+
+        def d_body(c):
+            ci, t_best, tri_best, u_best, v_best = c
+            s = ci * CHUNK + c_iota                       # (CHUNK,) event slots
+            valid = s < total
+            ps = (
+                jnp.searchsorted(offsets, s, side="right").astype(jnp.int32)
+                - 1
+            )
+            ps = jnp.clip(ps, 0, n_pkt - 1)
+            j = jnp.clip(s - offsets[ps], 0, QUEUE - 1)
+            leaf = queue[ps, j]                            # (CHUNK,)
+            row = bvh.leaf_blocks[leaf]                    # (CHUNK, 96)
+            g = lambda a: a[ps]                            # (CHUNK, PACKET)
+            t_e, k_e, u_e, v_e = _mt_block(
+                row, g(ox), g(oy), g(oz), g(dx), g(dy), g(dz),
+                g(t_min), g(t_best),
+            )
+            t_e = jnp.where(valid[:, None], t_e, _BIG)
+            slot_e = leaf[:, None] * (bvh.leaf_blocks.shape[1] // 12) + k_e
+
+            # segmented prefix-min by packet id (events are packet-major)
+            sh = 1
+            while sh < CHUNK:
+                same = jnp.concatenate(
+                    [jnp.zeros(sh, bool), ps[sh:] == ps[:-sh]]
+                )[:, None]
+
+                def shift(a, fill):
+                    return jnp.concatenate(
+                        [jnp.full((sh,) + a.shape[1:], fill, a.dtype), a[:-sh]]
+                    )
+
+                better = same & (shift(t_e, _BIG) < t_e)
+                t_e = jnp.where(better, shift(t_e, _BIG), t_e)
+                slot_e = jnp.where(better, shift(slot_e, 0), slot_e)
+                u_e = jnp.where(better, shift(u_e, 0.0), u_e)
+                v_e = jnp.where(better, shift(v_e, 0.0), v_e)
+                sh *= 2
+
+            # fold each packet's chunk-suffix row into its best-so-far
+            lo = jnp.maximum(offsets[:-1], ci * CHUNK)
+            hi = jnp.minimum(offsets[1:], ci * CHUNK + CHUNK)
+            has = hi > lo
+            r = jnp.clip(hi - 1 - ci * CHUNK, 0, CHUNK - 1)
+            t_p, slot_p, u_p, v_p = t_e[r], slot_e[r], u_e[r], v_e[r]
+            better = has[:, None] & (t_p < t_best)
+            t_best = jnp.where(better, t_p, t_best)
+            tri_best = jnp.where(better, slot_p, tri_best)
+            u_best = jnp.where(better, u_p, u_best)
+            v_best = jnp.where(better, v_p, v_best)
+            return ci + 1, t_best, tri_best, u_best, v_best
+
+        _, t_best, tri_best, u_best, v_best = jax.lax.while_loop(
+            d_cond, d_body,
+            (jnp.int32(0), t_best, tri_best, u_best, v_best),
+        )
+        if any_hit:
+            # resolved rays retire from the slab test entirely
+            t_best = jnp.where(tri_best >= 0, -_BIG, t_best)
+        cnt = jnp.zeros_like(cnt)
+        return (node, t_best, tri_best, u_best, v_best, queue, cnt, step)
 
     init = (
-        jnp.zeros(n_pkt, jnp.int32),                    # per-packet node cursor
-        t_max,
-        jnp.full((n_pkt, PACKET), -1, jnp.int32),       # best padded-tri slot
-        jnp.zeros((n_pkt, PACKET), jnp.float32),        # u
-        jnp.zeros((n_pkt, PACKET), jnp.float32),        # v
-        jnp.int32(0),
+        jnp.zeros(n_pkt, jnp.int32),                     # per-packet cursor
+        t_max,                                           # t_best (prune bound)
+        jnp.full((n_pkt, PACKET), -1, jnp.int32),        # best padded-tri slot
+        jnp.zeros((n_pkt, PACKET), jnp.float32),         # u
+        jnp.zeros((n_pkt, PACKET), jnp.float32),         # v
+        jnp.zeros((n_pkt, QUEUE), jnp.int32),            # leaf-event queue
+        jnp.zeros(n_pkt, jnp.int32),                     # queue counts
+        jnp.int32(0),                                    # step budget
     )
 
-    def cond(state):
-        node, _, _, _, _, step = state
+    def o_cond(carry):
+        node, step = carry[0], carry[7]
         return jnp.any(node >= 0) & (step < max_steps)
 
-    def body(state):
-        node, t_best, tri_best, u_best, v_best, step = state
-        live = node >= 0
-        nid = jnp.maximum(node, 0)
+    def o_body(carry):
+        return drain(walk_rounds(carry))
 
-        row = bvh.nodes[nid]                       # ONE gather: (n_pkt, 64)
-        col = lambda i: row[:, i : i + 1]          # (n_pkt, 1) -> broadcast
-
-        # slab test for all 128 packet rays
-        tx0 = (col(0) - ox) * ix
-        tx1 = (col(3) - ox) * ix
-        ty0 = (col(1) - oy) * iy
-        ty1 = (col(4) - oy) * iy
-        tz0 = (col(2) - oz) * iz
-        tz1 = (col(5) - oz) * iz
-        t_near = jnp.maximum(
-            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-            jnp.minimum(tz0, tz1),
-        )
-        t_far = jnp.minimum(
-            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-            jnp.maximum(tz0, tz1),
-        )
-        ray_hit = (t_near <= t_far) & (t_far >= t_min) & (t_near <= t_best)
-        pkt_hit = jnp.any(ray_hit, axis=1) & live
-
-        miss = jax.lax.bitcast_convert_type(row[:, 6], jnp.int32)
-        leaf_first = jax.lax.bitcast_convert_type(row[:, 7], jnp.int32)
-        is_leaf = leaf_first >= 0
-
-        do_tris = (pkt_hit & is_leaf)[:, None] & ray_hit
-        for k in range(LEAF_SIZE):
-            b = 8 + k * 12
-            v0x, v0y, v0z = col(b), col(b + 1), col(b + 2)
-            e1x, e1y, e1z = col(b + 3), col(b + 4), col(b + 5)
-            e2x, e2y, e2z = col(b + 6), col(b + 7), col(b + 8)
-            # Moller-Trumbore against all packet rays
-            px = dy * e2z - dz * e2y
-            py = dz * e2x - dx * e2z
-            pz = dx * e2y - dy * e2x
-            det = e1x * px + e1y * py + e1z * pz
-            inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-            tvx = ox - v0x
-            tvy = oy - v0y
-            tvz = oz - v0z
-            uk = (tvx * px + tvy * py + tvz * pz) * inv_det
-            qx = tvy * e1z - tvz * e1y
-            qy = tvz * e1x - tvx * e1z
-            qz = tvx * e1y - tvy * e1x
-            vk = (dx * qx + dy * qy + dz * qz) * inv_det
-            tk = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-            h = (
-                (jnp.abs(det) > 1e-12)
-                & (uk >= 0.0)
-                & (vk >= 0.0)
-                & (uk + vk <= 1.0)
-                & (tk > t_min)
-            )
-            closer = h & do_tris & (tk < t_best)
-            t_best = jnp.where(closer, tk, t_best)
-            slot = (leaf_first[:, None] * LEAF_SIZE + k).astype(jnp.int32)
-            tri_best = jnp.where(closer, slot, tri_best)
-            u_best = jnp.where(closer, uk, u_best)
-            v_best = jnp.where(closer, vk, v_best)
-
-        nxt = jnp.where(pkt_hit & ~is_leaf, nid + 1, miss)
-        node = jnp.where(live, nxt, node)
-        if any_hit:
-            # retire the packet once every LIVE ray found an occluder
-            need = (t_max >= t_min) & (tri_best < 0)
-            node = jnp.where(jnp.any(need, axis=1), node, -1)
-        return node, t_best, tri_best, u_best, v_best, step + 1
-
-    _, t, tri_slot, u, v = jax.lax.while_loop(cond, body, init)[:5]
+    out = jax.lax.while_loop(o_cond, o_body, init)
+    t_best, tri_slot, u, v = out[1], out[2], out[3], out[4]
 
     def flat(a):
         return a.reshape(n_pkt * PACKET)[:R]
 
-    t, tri_slot, u, v = flat(t), flat(tri_slot), flat(u), flat(v)
+    t, tri_slot, u, v = flat(t_best), flat(tri_slot), flat(u), flat(v)
     tri = jnp.where(tri_slot >= 0, bvh.prim_id[jnp.maximum(tri_slot, 0)], -1)
+    t = jnp.where(tri >= 0, jnp.abs(t), _BIG)
     return HitRecord(tri=tri, t=t, u=u, v=v), tri_slot
 
 
@@ -274,7 +399,7 @@ def closest_hit(bvh: BVH, o, d, t_min, t_max, max_steps: int = 100_000):
 
 def any_hit(bvh: BVH, o, d, t_min, t_max, max_steps: int = 100_000):
     """Occlusion query: returns bool (R,) occluded
-    (ref traceray_rq.glsl:153-185 AnyHit, packet retires when all members
-    are resolved)."""
+    (ref traceray_rq.glsl:153-185 AnyHit; resolved rays retire from the
+    packet's slab test)."""
     rec, _ = _traverse(bvh, o, d, t_min, t_max, any_hit=True, max_steps=max_steps)
     return rec.tri >= 0

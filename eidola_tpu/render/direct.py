@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..ops import reservoir as resv
 from ..ops import rng as erng
-from ..ops.packets import any_hit_img, closest_hit_img
+from ..ops.packets import any_hit_sorted, closest_hit_img
 from ..ops.math import (
     clamp_radiance,
     dot3,
@@ -202,9 +202,13 @@ def direct_stage(
         jnp.where(dot3(state.geo_nrm, sel["wi"])[..., None] >= 0,
                   state.geo_nrm, -state.geo_nrm),
     )
-    occluded = any_hit_img(
+    # winner shadow rays point at per-pixel light picks: sorted wavefront;
+    # lanes with nothing to test (miss / zero weight) retire immediately
+    need = state.valid & (r["weight"] > 0.0)
+    occluded = any_hit_sorted(
         scene.bvh, origin, sel["wi"],
-        jnp.full((h, w), _TMIN), sel["dist"] * 0.999,
+        jnp.full((h, w), _TMIN),
+        jnp.where(need, sel["dist"] * 0.999, -1.0),
         max_steps=cfg.traversal_max_steps,
     )
     r["weight"] = jnp.where(occluded | ~state.valid, 0.0, r["weight"])

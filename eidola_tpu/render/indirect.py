@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..ops import reservoir as resv
 from ..ops import rng as erng
-from ..ops.packets import closest_hit_img
+from ..ops.packets import closest_hit_sorted
 from ..ops.math import (
     clamp_radiance,
     dot3,
@@ -140,9 +140,10 @@ def indirect_stage(
     gen_ok = surf.valid & (p1 > 1e-9) & (wi_l[..., 2] > 0.0)
 
     origin = offset_ray(surf.pos, surf.nrm)
-    rec = closest_hit_img(
+    # BSDF-sampled directions are incoherent: sorted wavefront traversal
+    rec = closest_hit_sorted(
         scene.bvh, origin, d1,
-        jnp.full((h2, w2), _TMIN), jnp.full((h2, w2), _TMAX),
+        jnp.full((h2, w2), _TMIN), jnp.where(gen_ok, _TMAX, -1.0),
         max_steps=cfg.traversal_max_steps,
     )
     tri1 = rec.tri

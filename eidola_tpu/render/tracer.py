@@ -18,8 +18,8 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from ..ops import rng as erng
-from ..ops.bvh import any_hit, closest_hit
-from ..ops.packets import any_hit_img, closest_hit_img
+from ..ops.bvh import closest_hit
+from ..ops.packets import any_hit_sorted, closest_hit_img, closest_hit_sorted
 from ..ops.math import (
     dot3,
     make_frame,
@@ -57,7 +57,6 @@ def nee_contribution(cfg: RenderConfig, scene: SceneData, params: RenderParams,
                      state: State, wo, rng_state):
     """One next-event-estimation sample at `state` with shadow ray + MIS
     (ref pathtrace.glsl:185-220).  Returns (rng, contribution (..., 3))."""
-    lanes = state.pos.reshape(-1, 3)
     rng_state, ls = sample_direct_light(cfg, scene, params, state.pos, rng_state)
 
     t, b = make_frame(state.nrm)
@@ -69,21 +68,14 @@ def nee_contribution(cfg: RenderConfig, scene: SceneData, params: RenderParams,
     contrib_ok = state.valid & (ls.pdf > 1e-12) & (cos_i > 0.0)
     origin = offset_ray(state.pos, jnp.where(
         dot3(state.geo_nrm, ls.wi)[..., None] >= 0, state.geo_nrm, -state.geo_nrm))
-    if state.valid.ndim == 2:
-        occluded = any_hit_img(
-            scene.bvh, origin, ls.wi,
-            jnp.full(state.valid.shape, _TMIN), ls.dist * 0.999,
-            max_steps=cfg.traversal_max_steps,
-        )
-    else:
-        occluded = any_hit(
-            scene.bvh,
-            origin.reshape(-1, 3),
-            ls.wi.reshape(-1, 3),
-            jnp.full(lanes.shape[0], _TMIN),
-            (ls.dist * 0.999).reshape(-1),
-            max_steps=cfg.traversal_max_steps,
-        ).reshape(state.valid.shape)
+    # shadow rays are incoherent (per-pixel light samples): sorted wavefront.
+    # Dead lanes get t_max < t_min so their packets retire in one step.
+    shadow_tmax = jnp.where(contrib_ok, ls.dist * 0.999, -1.0)
+    occluded = any_hit_sorted(
+        scene.bvh, origin, ls.wi,
+        jnp.full(state.valid.shape, _TMIN), shadow_tmax,
+        max_steps=cfg.traversal_max_steps,
+    )
 
     if cfg.use_mis:
         bsdf_pdf_wi = pdf_bsdf(state.bsdf(), wo_l, wi_l)
@@ -147,30 +139,33 @@ def trace_radiance(
         if depth == 0 and state is not None:
             pass  # start from the provided surface
         else:
-            if len(shape) == 2:
+            primary = depth == 0 and start_state is None
+            if primary and len(shape) == 2:
+                # camera rays: image tiles are already coherent packets
                 rec = closest_hit_img(
                     scene.bvh, cur_o, cur_d,
                     jnp.full(shape, _TMIN), jnp.full(shape, _TMAX),
                     max_steps=cfg.traversal_max_steps,
                 )
-                tri = rec.tri
-                state = get_state(scene, cur_o, cur_d, tri, rec.t, rec.u, rec.v)
-                rec_t = rec.t
-            else:
+            elif primary:
                 rec = closest_hit(
-                    scene.bvh,
-                    cur_o.reshape(-1, 3),
-                    cur_d.reshape(-1, 3),
-                    jnp.full(R, _TMIN),
-                    jnp.full(R, _TMAX),
+                    scene.bvh, cur_o.reshape(-1, 3), cur_d.reshape(-1, 3),
+                    jnp.full(R, _TMIN), jnp.full(R, _TMAX),
                     max_steps=cfg.traversal_max_steps,
                 )
-                tri = rec.tri.reshape(shape)
-                rec_t = rec.t.reshape(shape)
-                state = get_state(
-                    scene, cur_o, cur_d, tri, rec_t,
-                    rec.u.reshape(shape), rec.v.reshape(shape),
+                rec = type(rec)(*[a.reshape(shape) for a in rec])
+            else:
+                # bounce rays: sorted wavefront; terminated lanes cluster
+                # into dead packets (t_max < t_min) and retire in one step
+                rec = closest_hit_sorted(
+                    scene.bvh, cur_o, cur_d,
+                    jnp.full(shape, _TMIN),
+                    jnp.where(alive, _TMAX, -1.0),
+                    max_steps=cfg.traversal_max_steps,
                 )
+            tri = rec.tri
+            rec_t = rec.t
+            state = get_state(scene, cur_o, cur_d, tri, rec_t, rec.u, rec.v)
             wo = -cur_d
 
             escaped = alive & ~state.valid

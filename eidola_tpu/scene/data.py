@@ -364,3 +364,10 @@ def upload_scene(
         env=env,
         sunsky=sunsky if sunsky is not None else default_sunsky(),
     )
+
+
+def attach_env(scene: SceneData, env: EnvMap) -> SceneData:
+    """Swap the HDR environment on a loaded scene (ref
+    SampleExample::loadEnvironmentHdr + updateHdrDescriptors,
+    sample_example.cpp:97-106,141-151)."""
+    return scene._replace(env=env)
