@@ -20,23 +20,85 @@ _LUM = np.asarray([0.2126, 0.7152, 0.0722])
 
 
 def load_hdr(path: str) -> np.ndarray:
-    """Read a Radiance .hdr (or EXR/PNG fallback) into (H, W, 3) float32
-    linear RGB (ref hdr_sampling.cpp:56-99 via stb_image)."""
-    try:
-        import cv2
+    """Read a Radiance .hdr into (H, W, 3) float32 linear RGB
+    (ref hdr_sampling.cpp:56-99 via stb_image).  Pure-numpy RGBE decoder
+    (flat + new-style RLE scanlines); PIL fallback for other formats."""
+    if path.endswith((".hdr", ".pic")):
+        return _read_radiance(path)
+    from PIL import Image
 
-        img = cv2.imread(path, cv2.IMREAD_ANYCOLOR | cv2.IMREAD_ANYDEPTH)
-        if img is not None:
-            img = img[..., ::-1]  # BGR -> RGB
-            return np.ascontiguousarray(img.astype(np.float32))
-    except Exception:
-        pass
-    import imageio.v2 as imageio
+    img = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
+    return img
 
-    img = np.asarray(imageio.imread(path), np.float32)
-    if img.ndim == 2:
-        img = img[..., None].repeat(3, -1)
-    return img[..., :3]
+
+def _rgbe_to_float(rgbe: np.ndarray) -> np.ndarray:
+    """(..., 4) u8 RGBE -> (..., 3) f32 linear (stb_image semantics)."""
+    e = rgbe[..., 3].astype(np.int32)
+    scale = np.where(e > 0, np.ldexp(1.0, e - 136), 0.0)  # 2^(e-128-8)
+    return (rgbe[..., :3].astype(np.float32)) * scale[..., None]
+
+
+def _read_radiance(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        data = f.read()
+    # header: lines until blank, then resolution line
+    pos = 0
+    if not data.startswith((b"#?RADIANCE", b"#?RGBE")):
+        raise ValueError(f"{path}: not a Radiance file")
+    while True:
+        nl = data.index(b"\n", pos)
+        line = data[pos:nl]
+        pos = nl + 1
+        if line == b"":
+            break
+    nl = data.index(b"\n", pos)
+    res = data[pos:nl].split()
+    pos = nl + 1
+    if len(res) != 4 or res[0] != b"-Y" or res[2] != b"+X":
+        raise ValueError(f"{path}: unsupported orientation {res}")
+    H, W = int(res[1]), int(res[3])
+
+    out = np.empty((H, W, 4), np.uint8)
+    buf = np.frombuffer(data, np.uint8, offset=pos)
+    bp = 0
+    for y in range(H):
+        if W < 8 or W > 0x7FFF or buf[bp] != 2 or buf[bp + 1] != 2:
+            # flat (possibly old-RLE-free) scanline
+            out[y] = buf[bp : bp + W * 4].reshape(W, 4)
+            bp += W * 4
+            continue
+        assert (int(buf[bp + 2]) << 8 | int(buf[bp + 3])) == W
+        bp += 4
+        for c in range(4):  # each component RLE'd separately
+            x = 0
+            while x < W:
+                count = int(buf[bp])
+                if count > 128:  # run
+                    out[y, x : x + count - 128, c] = buf[bp + 1]
+                    x += count - 128
+                    bp += 2
+                else:  # literal
+                    out[y, x : x + count, c] = buf[bp + 1 : bp + 1 + count]
+                    x += count
+                    bp += 1 + count
+    return _rgbe_to_float(out)
+
+
+def write_hdr(path: str, img: np.ndarray) -> None:
+    """Write (H, W, 3) f32 linear RGB as a flat Radiance .hdr (for tests and
+    HDR frame dumps)."""
+    img = np.asarray(img, np.float32)
+    H, W = img.shape[:2]
+    m = img.max(-1)
+    e = np.where(m > 1e-32, np.ceil(np.log2(np.maximum(m, 1e-32))) + 1, 0)
+    scale = np.where(m > 1e-32, np.ldexp(1.0, (-e + 8).astype(np.int32)), 0.0)
+    rgbe = np.zeros((H, W, 4), np.uint8)
+    rgbe[..., :3] = np.clip(img * scale[..., None] + 0.5, 0, 255).astype(np.uint8)
+    rgbe[..., 3] = np.where(m > 1e-32, e + 128, 0).astype(np.uint8)
+    with open(path, "wb") as f:
+        f.write(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n")
+        f.write(f"-Y {H} +X {W}\n".encode())
+        f.write(rgbe.tobytes())
 
 
 def build_env_map(image: np.ndarray) -> EnvMap:
