@@ -63,6 +63,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--no-indirect", action="store_true")
     p.add_argument("--orbit", type=float, default=0.0,
                    help="radians/frame camera orbit (exercises temporal reuse)")
+    p.add_argument("--descale", type=int, default=1,
+                   help="divide render extent by N (interactive-descaling "
+                        "analog, ref sample_example.cpp:396-399; output is "
+                        "upscaled back)")
     p.add_argument("--save-state", default=None,
                    help="write FrameState checkpoint npz after the run")
     p.add_argument("--load-state", default=None,
@@ -77,6 +81,11 @@ def run(argv=None) -> dict:
     args = build_argparser().parse_args(argv)
     w = args.size[0]
     h = args.size[1] if len(args.size) > 1 else args.size[0]
+    if args.descale > 1:
+        # static shapes: each descale level is its own compiled step, like
+        # the reference's render-extent division while dragging
+        w = max(w // args.descale // 32 * 32, 32)
+        h = max(h // args.descale // 32 * 32, 32)
 
     timer = MilliTimer("load ")
     scene, cam = load_scene(args.scene)
@@ -98,6 +107,10 @@ def run(argv=None) -> dict:
         indirect_enabled=not args.no_indirect,
         debug_mode=DEBUG_MODES[args.debug],
         env_mode=env_mode,
+        # alpha-tested traversal only when the scene needs it (static switch)
+        alpha_geometry=bool(
+            (np.asarray(scene.materials.alpha_mode) != 0).any()
+        ),
     )
     params, tm = default_params(), default_tonemap()
     manip = CameraManipulator(
@@ -139,6 +152,15 @@ def run(argv=None) -> dict:
             jax.block_until_ready(outputs["image"])
 
     img = np.asarray(outputs["image"])
+    if args.descale > 1:
+        from PIL import Image
+
+        full_w = args.size[0]
+        full_h = args.size[1] if len(args.size) > 1 else args.size[0]
+        pil = Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8))
+        img = np.asarray(
+            pil.resize((full_w, full_h), Image.BILINEAR), np.float32
+        ) / 255.0
     _write_png(args.out, img)
     if args.hdr_out:
         np.save(args.hdr_out, np.asarray(outputs["hdr"]))

@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-LEAF_SIZE_TPU = 32  # measured best on v5e: shallower walk, MT stays drained
+LEAF_SIZE_TPU = 64  # measured best on v5e: shallower walk, MT stays drained
 LEAF_SIZE_CPU = 8   # smaller unroll keeps XLA:CPU compile/test time sane
 PACKET = 128
 QUEUE = 32          # leaf events buffered per packet between drains

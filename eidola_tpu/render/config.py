@@ -64,6 +64,11 @@ class RenderConfig:
     accumulate: bool = True         # progressive accumulation when camera still
     modulate_albedo: bool = True    # demodulate/remodulate around denoise (K5)
     traversal_max_steps: int = 8192
+    # alpha-tested geometry (ref traceray_rq.glsl:32-102 HitTest): when the
+    # scene has MASK/BLEND materials, rays re-trace past transparent hits up
+    # to alpha_hops times.  Static so opaque scenes pay nothing.
+    alpha_geometry: bool = False
+    alpha_hops: int = 4
 
     @property
     def half_width(self) -> int:

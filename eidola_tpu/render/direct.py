@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..ops import reservoir as resv
 from ..ops import rng as erng
-from ..ops.packets import any_hit_sorted, closest_hit_img
+
 from ..ops.math import (
     clamp_radiance,
     dot3,
@@ -153,10 +153,12 @@ def direct_stage(
     R = h * w
 
     # --- primary hit ------------------------------------------------- K1:280
+    from .tracer import trace_closest, trace_occlusion
+
     rng_state, o, d = spawn_rays(cam, h, w, rng_state)
-    rec = closest_hit_img(
-        scene.bvh, o, d, jnp.full((h, w), _TMIN), jnp.full((h, w), _TMAX),
-        max_steps=cfg.traversal_max_steps,
+    rng_state, rec = trace_closest(
+        cfg, scene, o, d, jnp.full((h, w), _TMIN), jnp.full((h, w), _TMAX),
+        rng_state, coherent=True,
     )
     t_hit = rec.t
     state = get_state(scene, o, d, rec.tri, t_hit, rec.u, rec.v)
@@ -205,11 +207,11 @@ def direct_stage(
     # winner shadow rays point at per-pixel light picks: sorted wavefront;
     # lanes with nothing to test (miss / zero weight) retire immediately
     need = state.valid & (r["weight"] > 0.0)
-    occluded = any_hit_sorted(
-        scene.bvh, origin, sel["wi"],
+    rng_state, occluded = trace_occlusion(
+        cfg, scene, origin, sel["wi"],
         jnp.full((h, w), _TMIN),
         jnp.where(need, sel["dist"] * 0.999, -1.0),
-        max_steps=cfg.traversal_max_steps,
+        rng_state,
     )
     r["weight"] = jnp.where(occluded | ~state.valid, 0.0, r["weight"])
 

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..ops import reservoir as resv
 from ..ops import rng as erng
-from ..ops.packets import closest_hit_sorted
+
 from ..ops.math import (
     clamp_radiance,
     dot3,
@@ -45,7 +45,7 @@ from .config import RESTIR_NONE, RESTIR_RIS, RenderConfig, RenderParams
 from .gbuffer import GBuffer, GBufferView
 from .pathtrace import env_radiance
 from .shade_state import State, get_state
-from .tracer import trace_radiance
+from .tracer import trace_closest, trace_radiance
 from .direct import _gather_resv, _gather_view, _temporal_gates
 
 _TMIN = 1e-4
@@ -86,21 +86,39 @@ def _surface_from_view(view: GBufferView, cam: Camera) -> State:
     )
 
 
-def _tile_long_mask(cfg: RenderConfig, params: RenderParams, h2: int, w2: int):
-    """One shared bernoulli per 8x8 tile (ref indirect_stage.comp:283-288)."""
+def _long_tile_lanes(cfg: RenderConfig, params: RenderParams,
+                     h2: int, w2: int):
+    """Pick EXACTLY round(p * n_tiles) tiles per frame to trace deep bounces
+    (ref indirect_stage.comp:283-288 flips one coin per 8x8 workgroup; we
+    select an exact count so the deep continuation can run on a STATICALLY
+    quarter-sized compacted lane set — masked lanes are not free on a
+    static-shape machine, compaction is).
+
+    Returns (flat lane indices (k_long*ts*ts,) with out-of-image lanes set
+    to the out-of-bounds sentinel h2*w2, inverse scale n_tiles / k_long).
+    Each tile's inclusion probability is k/n, so scaling the deep term by
+    n/k stays unbiased."""
     ts = cfg.multibounce_tile
     th = (h2 + ts - 1) // ts
     tw = (w2 + ts - 1) // ts
-    ty = jnp.arange(th, dtype=jnp.uint32)[:, None] * jnp.ones((1, tw), jnp.uint32)
-    tx = jnp.arange(tw, dtype=jnp.uint32)[None, :] * jnp.ones((th, 1), jnp.uint32)
-    salt = jnp.broadcast_to(
-        params.time_word + jnp.uint32(0x9E37), (th, tw)
-    )
-    seed = erng.pcg2d(jnp.stack([ty * jnp.uint32(7919) + tx, salt], -1))[..., 0]
-    u = (seed >> jnp.uint32(9)).astype(jnp.float32) / float(1 << 23)
-    long_tile = u < cfg.multibounce_prob
-    full = jnp.repeat(jnp.repeat(long_tile, ts, axis=0), ts, axis=1)
-    return full[:h2, :w2]
+    n_tiles = th * tw
+    k_long = max(1, int(round(cfg.multibounce_prob * n_tiles)))
+
+    tid = jnp.arange(n_tiles, dtype=jnp.uint32)
+    salt = jnp.broadcast_to(params.time_word + jnp.uint32(0x9E37), (n_tiles,))
+    key = erng.pcg2d(jnp.stack([tid * jnp.uint32(7919), salt], -1))[..., 0]
+    order = jnp.argsort(key)             # random permutation of tiles
+    long_ids = order[:k_long].astype(jnp.int32)
+
+    ty = long_ids // tw
+    tx = long_ids % tw
+    dy = jnp.arange(ts, dtype=jnp.int32)
+    dx = jnp.arange(ts, dtype=jnp.int32)
+    rows = ty[:, None, None] * ts + dy[None, :, None]
+    cols = tx[:, None, None] * ts + dx[None, None, :]
+    inside = (rows < h2) & (cols < w2)
+    flat = jnp.where(inside, rows * w2 + cols, h2 * w2).reshape(-1)
+    return flat, float(n_tiles) / float(k_long)
 
 
 def indirect_stage(
@@ -141,10 +159,10 @@ def indirect_stage(
 
     origin = offset_ray(surf.pos, surf.nrm)
     # BSDF-sampled directions are incoherent: sorted wavefront traversal
-    rec = closest_hit_sorted(
-        scene.bvh, origin, d1,
+    rng_state, rec = trace_closest(
+        cfg, scene, origin, d1,
         jnp.full((h2, w2), _TMIN), jnp.where(gen_ok, _TMAX, -1.0),
-        max_steps=cfg.traversal_max_steps,
+        rng_state,
     )
     tri1 = rec.tri
     xs_state = get_state(scene, origin, d1, tri1, rec.t, rec.u, rec.v)
@@ -160,28 +178,52 @@ def indirect_stage(
 
     # --- continuation with tiled multi-bounce -------------------- K2:129-226
     if cfg.max_depth > 1:
-        rng_in = rng_state
-        rng_state, L_sub, _ = trace_radiance(
-            cfg, scene, params, None, None, rng_in,
-            num_bounces=cfg.max_depth - 1,
-            start_state=xs_state,
-            start_wo=-d1,
-            nee_start_depth=0,  # NEE from xs onward
-        )
         if cfg.tiled_multibounce and cfg.max_depth > 2:
-            long_mask = _tile_long_mask(cfg, params, h2, w2)
-            scale = jnp.where(long_mask, 1.0 / max(cfg.multibounce_prob, 1e-3), 0.0)
-            # the FIRST continuation segment (NEE at xs) must always count;
-            # only bounces beyond xs are tile-gated.  Re-running the tracer
-            # with the SAME rng prefix yields exactly the 1-bounce prefix of
-            # L_sub, so (L_sub - L_one) isolates the deep-bounce contribution.
-            _, L_one, _ = trace_radiance(
-                cfg, scene, params, None, None, rng_in,
+            # Tiled multi-bounce: every lane gets the 1-bounce continuation
+            # (NEE at xs + one more segment); ONLY the lanes of the selected
+            # long tiles (exactly p of all tiles) trace the deep bounces, on
+            # a compacted quarter-sized ray set — masked lanes are not free
+            # on a static-shape machine, compaction is.  The deep trace
+            # snapshots its own 1-bounce prefix so (L_sub_c - L_one_c)
+            # isolates the deep contribution, scattered back with the 1/p
+            # compensation (ref indirect_stage.comp:39-45, 133, 283-288).
+            rng_state, L_one_all, _ = trace_radiance(
+                cfg, scene, params, None, None, rng_state,
                 num_bounces=1, start_state=xs_state, start_wo=-d1,
                 nee_start_depth=0,
             )
-            L_cont = L_one + (L_sub - L_one) * scale[..., None]
+            flat, inv_p = _long_tile_lanes(cfg, params, h2, w2)
+
+            def g(a):
+                return a.reshape((h2 * w2,) + a.shape[2:])[
+                    jnp.minimum(flat, h2 * w2 - 1)
+                ]
+
+            xs_c = State(*[g(f) for f in xs_state])
+            rng_c = erng.pcg(g(rng_state) ^ jnp.uint32(0xB5297A4D))
+            d1_c = g(d1)
+            _, L_sub_c, _, L_one_c = trace_radiance(
+                cfg, scene, params, None, None, rng_c,
+                num_bounces=cfg.max_depth - 1,
+                start_state=xs_c, start_wo=-d1_c,
+                nee_start_depth=0,
+                snapshot_after_depth=1,
+            )
+            deep = (L_sub_c - L_one_c) * inv_p
+            deep_full = (
+                jnp.zeros((h2 * w2 + 1, 3), jnp.float32)
+                .at[flat].add(deep, mode="drop")[: h2 * w2]
+                .reshape(h2, w2, 3)
+            )
+            L_cont = L_one_all + deep_full
         else:
+            rng_state, L_sub, _ = trace_radiance(
+                cfg, scene, params, None, None, rng_state,
+                num_bounces=cfg.max_depth - 1,
+                start_state=xs_state,
+                start_wo=-d1,
+                nee_start_depth=0,
+            )
             L_cont = L_sub
         L = L + jnp.where(hit1[..., None], L_cont, 0.0)
 

@@ -18,7 +18,6 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from ..ops import rng as erng
-from ..ops.bvh import closest_hit
 from ..ops.packets import any_hit_sorted, closest_hit_img, closest_hit_sorted
 from ..ops.math import (
     dot3,
@@ -45,6 +44,95 @@ _TMIN = 1e-4
 _TMAX = 1e8
 
 
+def _surface_opacity(scene: SceneData, tri, u, v):
+    """Opacity at a hit: base-color alpha factor x base texture alpha
+    (the cheap subset of GetMaterials the alpha test needs,
+    ref traceray_rq.glsl:58-80)."""
+    from ..scene.textures import sample_bilinear
+
+    t = jnp.maximum(tri, 0)
+    uvs = scene.tri_uv[t]                       # (..., 3, 2)
+    w0 = (1.0 - u - v)[..., None]
+    uv = uvs[..., 0, :] * w0 + uvs[..., 1, :] * u[..., None] \
+        + uvs[..., 2, :] * v[..., None]
+    mat = scene.tri_mat[t]
+    base_a = scene.materials.base_color[mat][..., 3]
+    tex_a = sample_bilinear(
+        scene.textures, scene.materials.base_tex[mat], uv
+    )[..., 3]
+    return base_a * tex_a
+
+
+def _alpha_passthrough(scene: SceneData, rec, rng_state):
+    """Which hits the alpha test rejects (ray continues past them):
+    MASK -> opacity < cutoff; BLEND -> stochastic rand >= opacity
+    (ref traceray_rq.glsl:87-101)."""
+    from ..scene.data import ALPHA_BLEND, ALPHA_MASK
+
+    mat = scene.tri_mat[jnp.maximum(rec.tri, 0)]
+    am = scene.materials.alpha_mode[mat]
+    opac = _surface_opacity(scene, rec.tri, rec.u, rec.v)
+    rng_state, uu = erng.rand(rng_state)
+    cutoff = scene.materials.alpha_cutoff[mat]
+    passthrough = (rec.tri >= 0) & (
+        ((am == ALPHA_MASK) & (opac < cutoff))
+        | ((am == ALPHA_BLEND) & (uu >= opac))
+    )
+    return rng_state, passthrough
+
+
+def trace_closest(cfg: RenderConfig, scene: SceneData, o, d, t_min, t_max,
+                  rng_state, coherent: bool = False):
+    """Closest-hit with the HitTest alpha loop (ref traceray_rq.glsl
+    ClosestHit): transparent hits re-trace from just past the hit, up to
+    cfg.alpha_hops times.  Statically free when cfg.alpha_geometry is off.
+    Returns (rng_state, HitRecord)."""
+    fn = closest_hit_img if (coherent and o.ndim == 3) else closest_hit_sorted
+    rec = fn(scene.bvh, o, d, t_min, t_max, max_steps=cfg.traversal_max_steps)
+    if not cfg.alpha_geometry:
+        return rng_state, rec
+    for _ in range(cfg.alpha_hops):
+        rng_state, passthrough = _alpha_passthrough(scene, rec, rng_state)
+        new_tmin = rec.t * (1.0 + 1e-4) + 1e-5
+        rec2 = closest_hit_sorted(
+            scene.bvh, o, d,
+            jnp.where(passthrough, new_tmin, t_min),
+            jnp.where(passthrough, t_max, -1.0),
+            max_steps=cfg.traversal_max_steps,
+        )
+        rec = type(rec)(*[
+            jnp.where(passthrough, b, a) for a, b in zip(rec, rec2)
+        ])
+    return rng_state, rec
+
+
+def trace_occlusion(cfg: RenderConfig, scene: SceneData, o, d, t_min, t_max,
+                    rng_state):
+    """Occlusion with stochastic alpha (ref traceray_rq.glsl:153-185 AnyHit):
+    alpha-rejected hits don't occlude; the ray marches past them.
+    Returns (rng_state, occluded bool)."""
+    if not cfg.alpha_geometry:
+        occ = any_hit_sorted(
+            scene.bvh, o, d, t_min, t_max, max_steps=cfg.traversal_max_steps
+        )
+        return rng_state, occ
+    shape = t_max.shape if hasattr(t_max, "shape") else o.shape[:-1]
+    occluded = jnp.zeros(shape, bool)
+    cur_tmin = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), shape)
+    cur_tmax = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), shape)
+    for _ in range(cfg.alpha_hops + 1):
+        rec = closest_hit_sorted(
+            scene.bvh, o, d, cur_tmin, cur_tmax,
+            max_steps=cfg.traversal_max_steps,
+        )
+        rng_state, passthrough = _alpha_passthrough(scene, rec, rng_state)
+        occluded = occluded | ((rec.tri >= 0) & ~passthrough)
+        cur_tmin = jnp.where(passthrough, rec.t * (1.0 + 1e-4) + 1e-5,
+                             cur_tmin)
+        cur_tmax = jnp.where(passthrough & ~occluded, cur_tmax, -1.0)
+    return rng_state, occluded
+
+
 class PathVertex(NamedTuple):
     """First-bounce record the ReSTIR GI stage needs (ref GISample
     host_device.h:260-284: xv/nv implicit from G-buffer, xs/ns here)."""
@@ -54,9 +142,10 @@ class PathVertex(NamedTuple):
 
 
 def nee_contribution(cfg: RenderConfig, scene: SceneData, params: RenderParams,
-                     state: State, wo, rng_state):
+                     state: State, wo, rng_state, active=None):
     """One next-event-estimation sample at `state` with shadow ray + MIS
-    (ref pathtrace.glsl:185-220).  Returns (rng, contribution (..., 3))."""
+    (ref pathtrace.glsl:185-220).  Returns (rng, contribution (..., 3)).
+    `active` masks lanes whose shadow rays need not be traced at all."""
     rng_state, ls = sample_direct_light(cfg, scene, params, state.pos, rng_state)
 
     t, b = make_frame(state.nrm)
@@ -66,15 +155,16 @@ def nee_contribution(cfg: RenderConfig, scene: SceneData, params: RenderParams,
     cos_i = jnp.maximum(wi_l[..., 2], 0.0)
 
     contrib_ok = state.valid & (ls.pdf > 1e-12) & (cos_i > 0.0)
+    if active is not None:
+        contrib_ok = contrib_ok & active
     origin = offset_ray(state.pos, jnp.where(
         dot3(state.geo_nrm, ls.wi)[..., None] >= 0, state.geo_nrm, -state.geo_nrm))
     # shadow rays are incoherent (per-pixel light samples): sorted wavefront.
     # Dead lanes get t_max < t_min so their packets retire in one step.
     shadow_tmax = jnp.where(contrib_ok, ls.dist * 0.999, -1.0)
-    occluded = any_hit_sorted(
-        scene.bvh, origin, ls.wi,
-        jnp.full(state.valid.shape, _TMIN), shadow_tmax,
-        max_steps=cfg.traversal_max_steps,
+    rng_state, occluded = trace_occlusion(
+        cfg, scene, origin, ls.wi,
+        jnp.full(state.valid.shape, _TMIN), shadow_tmax, rng_state,
     )
 
     if cfg.use_mis:
@@ -106,6 +196,8 @@ def trace_radiance(
     start_state: State | None = None,
     start_wo=None,
     nee_start_depth: int = 0,
+    snapshot_after_depth: int | None = None,
+    kill_after_snapshot=None,
 ):
     """Trace radiance along rays (o, d): flat or image-shaped lanes.
 
@@ -114,7 +206,13 @@ def trace_radiance(
     are ignored for the first segment; `start_wo` is the direction back
     toward the camera.
 
-    Returns (rng_state, radiance, PathVertex|None).
+    If `snapshot_after_depth` = k, also return the radiance accumulated
+    through the hit/env contributions of segment k — the exact value a
+    separate `num_bounces=k` run with the same RNG prefix would produce
+    (used by the tiled-multibounce split, render/indirect.py, without
+    paying for a second traversal).
+
+    Returns (rng_state, radiance, PathVertex|None[, radiance_snapshot]).
     """
     depth_total = num_bounces if num_bounces is not None else cfg.max_depth
     shape = (start_state.valid.shape if start_state is not None else d.shape[:-1])
@@ -130,6 +228,7 @@ def trace_radiance(
     first_xs = jnp.zeros(shape + (3,), jnp.float32)
     first_ns = jnp.zeros(shape + (3,), jnp.float32)
     first_ok = jnp.zeros(shape, bool)
+    radiance_snap = radiance
 
     state = start_state
     wo = start_wo
@@ -140,28 +239,21 @@ def trace_radiance(
             pass  # start from the provided surface
         else:
             primary = depth == 0 and start_state is None
-            if primary and len(shape) == 2:
+            if primary:
                 # camera rays: image tiles are already coherent packets
-                rec = closest_hit_img(
-                    scene.bvh, cur_o, cur_d,
+                rng_state, rec = trace_closest(
+                    cfg, scene, cur_o, cur_d,
                     jnp.full(shape, _TMIN), jnp.full(shape, _TMAX),
-                    max_steps=cfg.traversal_max_steps,
+                    rng_state, coherent=True,
                 )
-            elif primary:
-                rec = closest_hit(
-                    scene.bvh, cur_o.reshape(-1, 3), cur_d.reshape(-1, 3),
-                    jnp.full(R, _TMIN), jnp.full(R, _TMAX),
-                    max_steps=cfg.traversal_max_steps,
-                )
-                rec = type(rec)(*[a.reshape(shape) for a in rec])
             else:
                 # bounce rays: sorted wavefront; terminated lanes cluster
                 # into dead packets (t_max < t_min) and retire in one step
-                rec = closest_hit_sorted(
-                    scene.bvh, cur_o, cur_d,
+                rng_state, rec = trace_closest(
+                    cfg, scene, cur_o, cur_d,
                     jnp.full(shape, _TMIN),
                     jnp.where(alive, _TMAX, -1.0),
-                    max_steps=cfg.traversal_max_steps,
+                    rng_state,
                 )
             tri = rec.tri
             rec_t = rec.t
@@ -209,6 +301,16 @@ def trace_radiance(
                 first_xs = jnp.where(first_ok[..., None], state.pos, 0.0)
                 first_ns = jnp.where(first_ok[..., None], state.nrm, 0.0)
 
+            if snapshot_after_depth is not None and depth == snapshot_after_depth:
+                radiance_snap = radiance
+                if kill_after_snapshot is not None:
+                    # tiled multi-bounce (ref indirect_stage.comp:39-45):
+                    # lanes whose deep contribution is scaled to zero stop
+                    # tracing here; sorted-dead clustering retires their
+                    # packets in one step.  Estimator-identical because the
+                    # caller only uses (L_sub - L_one) where the mask is on.
+                    alive = alive & kill_after_snapshot
+
             alive = alive & state.valid
 
         if depth == depth_total:
@@ -217,7 +319,7 @@ def trace_radiance(
         # NEE at this vertex (ref indirect_stage.comp:143-153)
         if cfg.use_nee and depth >= nee_start_depth:
             rng_state, contrib = nee_contribution(
-                cfg, scene, params, state, wo, rng_state
+                cfg, scene, params, state, wo, rng_state, active=alive
             )
             radiance = radiance + jnp.where(
                 alive[..., None], throughput * contrib, 0.0
@@ -256,4 +358,6 @@ def trace_radiance(
         cur_d = wi
 
     vert = PathVertex(xs=first_xs, ns=first_ns, valid=first_ok) if collect_first_vertex else None
+    if snapshot_after_depth is not None:
+        return rng_state, radiance, vert, radiance_snap
     return rng_state, radiance, vert
