@@ -37,7 +37,6 @@ from ..scene.data import SceneData
 from .bsdf import BsdfParams, eval_bsdf
 from .config import (
     RESTIR_NONE,
-    RESTIR_RIS,
     RESTIR_SPATIAL,
     RESTIR_SPATIOTEMPORAL,
     RESTIR_TEMPORAL,

@@ -29,7 +29,6 @@ from ..ops import rng as erng
 
 from ..ops.math import (
     clamp_radiance,
-    dot3,
     hdr_to_ldr,
     luminance,
     make_frame,

@@ -22,7 +22,6 @@ from ..ops.packets import any_hit_sorted, closest_hit_img, closest_hit_sorted
 from ..ops.math import (
     dot3,
     make_frame,
-    normalize,
     offset_ray,
     power_heuristic,
     to_local,
