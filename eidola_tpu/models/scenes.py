@@ -182,11 +182,53 @@ def stress_grid(n: int = 12):
     return scene, cam
 
 
+def textured_demo():
+    """Checkerboard-textured floor + textured box under sun&sky — exercises
+    the bilinear texture path and per-face UVs (ref scene.cpp texture import
+    + gltf_material.glsl sampling)."""
+    check = np.zeros((64, 64, 4), np.float32)
+    yy, xx = np.mgrid[0:64, 0:64]
+    c = ((yy // 8 + xx // 8) % 2).astype(np.float32)
+    check[..., 0] = 0.15 + 0.7 * c
+    check[..., 1] = 0.15 + 0.55 * c
+    check[..., 2] = 0.15 + 0.35 * c
+    check[..., 3] = 1.0
+    stripes = np.zeros((32, 32, 4), np.float32)
+    stripes[..., 0] = 0.9
+    stripes[..., 1] = np.where((np.arange(32) // 4 % 2)[None, :], 0.7, 0.2)
+    stripes[..., 2] = 0.2
+    stripes[..., 3] = 1.0
+
+    floor = quad_tris([-6, 0, -6], [6, 0, -6], [6, 0, 6], [-6, 0, 6])
+    box = box_tris([0, 0.75, 0], [0.75, 0.75, 0.75])
+    tris = np.concatenate([floor, box])
+    mats = np.concatenate([
+        np.zeros(floor.shape[0], np.int32), np.ones(box.shape[0], np.int32)
+    ])
+    # planar UVs: floor from xz, box from face-local xy-ish projection
+    uvs = np.zeros((tris.shape[0], 3, 2), np.float32)
+    uvs[:2] = (tris[:2][..., [0, 2]] + 6.0) / 12.0 * 4.0       # floor tiles
+    uvs[2:] = (tris[2:][..., [0, 1]] + 1.5) / 3.0              # box faces
+    scene = upload_scene(
+        tris[:, 0], tris[:, 1], tris[:, 2],
+        uvs=uvs,
+        mat_ids=mats,
+        materials=[
+            {"base_color": [1, 1, 1, 1], "roughness": 0.85, "base_tex": 0},
+            {"base_color": [1, 1, 1, 1], "roughness": 0.35, "base_tex": 1},
+        ],
+        textures=[check, stripes],
+    )
+    cam = make_camera(eye=[3.2, 2.4, 4.2], center=[0, 0.6, 0], fovy_deg=45.0)
+    return scene, cam
+
+
 _REGISTRY = {
     "cornell": cornell_box,
     "boxes": boxes_sunsky,
     "punctual": punctual_demo,
     "stress": stress_grid,
+    "textured": textured_demo,
 }
 
 
