@@ -135,9 +135,6 @@ def run(argv=None) -> dict:
 
     for i in range(1, args.frames):
         cam = manip.orbit(args.orbit, 0.0) if args.orbit else manip.hold()
-        params = params._replace(
-            frame=params.frame + 1,
-        )
         state, outputs = prof.timeit(
             "Render", step, scene, cam, params, tm, state
         )

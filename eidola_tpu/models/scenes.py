@@ -223,12 +223,179 @@ def textured_demo():
     return scene, cam
 
 
+def box_grid_tris(center, half, sub: int = 8):
+    """Axis-aligned box with each face tessellated into sub x sub quads
+    (6 * sub^2 * 2 triangles) — real triangle density for scale benches."""
+    cx, cy, cz = center
+    hx, hy, hz = half
+    u = np.linspace(-1.0, 1.0, sub + 1)
+    faces = []
+    for axis, sign in ((0, 1), (0, -1), (1, 1), (1, -1), (2, 1), (2, -1)):
+        a, b = [i for i in range(3) if i != axis]
+        ua, ub = np.meshgrid(u, u, indexing="ij")
+        p = np.zeros((sub + 1, sub + 1, 3), np.float64)
+        p[..., axis] = sign
+        p[..., a] = ua
+        p[..., b] = ub
+        p00 = p[:-1, :-1]
+        p10 = p[1:, :-1]
+        p01 = p[:-1, 1:]
+        p11 = p[1:, 1:]
+        t1 = np.stack([p00, p10, p11], axis=2).reshape(-1, 3, 3)
+        t2 = np.stack([p00, p11, p01], axis=2).reshape(-1, 3, 3)
+        faces.append(np.concatenate([t1, t2]))
+    tris = np.concatenate(faces)
+    tris = tris * np.asarray([hx, hy, hz]) + np.asarray([cx, cy, cz])
+    return tris.astype(np.float32)
+
+
+def bistro_standin(target_mtris: float = 2.83):
+    """Procedural city scene at Bistro-Exterior scale (>= target_mtris
+    million triangles): tessellated buildings + dense foliage spheres +
+    street ground, under sun & sky.  Stand-in for the reference's headline
+    benchmark asset (BASELINE.md: Bistro Exterior, 2.83M tris, 1080p) — the
+    offline environment has no Bistro download, so the triangle load,
+    depth complexity and material mix are reproduced procedurally."""
+    rng = np.random.default_rng(7)
+    target = int(target_mtris * 1e6)
+
+    parts = [
+        (quad_tris([-120, 0, -120], [120, 0, -120], [120, 0, 120],
+                   [-120, 0, 120]), 0),
+    ]
+    count = 4
+    n_lots = 24  # grid edge; tuned with per-lot content to pass `target`
+    lot = 9.0
+    per_building = 6 * 8 * 8 * 2            # box sub=8 -> 768 tris
+    per_sphere = 2 * 14 * 20                # n_lat=14, n_lon=20 -> 560 tris
+    est_per_lot = per_building + 6 * per_sphere
+    n_lots = int(np.ceil(np.sqrt(target / est_per_lot)))
+    for i in range(n_lots):
+        for j in range(n_lots):
+            x = (i - n_lots / 2) * lot + rng.uniform(-1, 1)
+            z = (j - n_lots / 2) * lot + rng.uniform(-1, 1)
+            hgt = rng.uniform(3.0, 14.0)
+            w = rng.uniform(2.0, 3.4)
+            parts.append(
+                (box_grid_tris([x, hgt / 2, z], [w, hgt / 2, w], sub=8),
+                 1 + (i + j) % 2)
+            )
+            # foliage cluster along the "street"
+            for _ in range(6):
+                fx = x + rng.uniform(-lot / 2, lot / 2)
+                fz = z + rng.uniform(-lot / 2, lot / 2)
+                fr = rng.uniform(0.5, 1.3)
+                parts.append(
+                    (uv_sphere([fx, fr * rng.uniform(1.0, 2.5), fz], fr,
+                               n_lat=14, n_lon=20), 3)
+                )
+            count += est_per_lot
+    tris, mats = _concat(parts)
+    mats_list = [
+        {"base_color": [0.45, 0.44, 0.42, 1], "roughness": 0.9},   # street
+        {"base_color": [0.75, 0.62, 0.48, 1], "roughness": 0.7},   # wall A
+        {"base_color": [0.55, 0.57, 0.62, 1], "roughness": 0.4,
+         "metallic": 0.3},                                          # wall B
+        {"base_color": [0.15, 0.42, 0.12, 1], "roughness": 0.8},   # foliage
+    ]
+    scene = upload_scene(
+        tris[:, 0], tris[:, 1], tris[:, 2], mat_ids=mats,
+        materials=mats_list,
+    )
+    cam = make_camera(
+        eye=[0.0, 9.0, n_lots * lot * 0.52],
+        center=[0.0, 3.0, 0.0], fovy_deg=55.0,
+    )
+    return scene, cam
+
+
+def hdr_env_demo():
+    """Boxes under a procedural HDR environment map (bright sun blob + sky
+    gradient) — exercises the alias-map env importance-sampling path with
+    env_mode='hdr' (ref hdr_sampling.cpp:107-242, env_sampling.glsl)."""
+    from ..scene.data import attach_env
+    from ..scene.hdr import build_env_map
+
+    h, w = 32, 64
+    yy = np.linspace(0, np.pi, h)[:, None]
+    xx = np.linspace(0, 2 * np.pi, w)[None, :]
+    img = np.zeros((h, w, 3), np.float32)
+    img[..., 2] = 0.4 + 0.3 * np.cos(yy) * np.ones_like(xx)   # blue-ish sky
+    img[..., 1] = 0.3
+    img[..., 0] = 0.25
+    # bright warm sun blob
+    sun = np.exp(-(((yy - 0.9) ** 2) + (xx - 1.5) ** 2) * 40.0)
+    img[..., 0] += 120.0 * sun
+    img[..., 1] += 100.0 * sun
+    img[..., 2] += 60.0 * sun
+
+    ground = {"base_color": [0.6, 0.6, 0.55, 1.0], "roughness": 0.9}
+    shiny = {"base_color": [0.85, 0.3, 0.25, 1.0], "metallic": 0.6,
+             "roughness": 0.25}
+    parts = [
+        (quad_tris([-8, 0, -8], [8, 0, -8], [8, 0, 8], [-8, 0, 8]), 0),
+        (box_tris([-0.8, 0.8, 0], [0.5, 0.8, 0.5]), 1),
+        (uv_sphere([0.9, 0.5, 0.6], 0.5), 1),
+    ]
+    tris, mats = _concat(parts)
+    scene = upload_scene(
+        tris[:, 0], tris[:, 1], tris[:, 2],
+        mat_ids=mats, materials=[ground, shiny],
+        sunsky=default_sunsky()._replace(enabled=np.int32(0)),
+    )
+    scene = attach_env(scene, build_env_map(img))
+    cam = make_camera(eye=[0, 1.6, 4.2], center=[0, 0.7, 0], fovy_deg=50.0)
+    return scene, cam
+
+
+def alpha_demo():
+    """Alpha-MASK cutout screen in front of a box under sun&sky — exercises
+    the stochastic HitTest re-trace path end-to-end
+    (ref traceray_rq.glsl:32-102)."""
+    from ..scene.data import ALPHA_MASK
+
+    # checker-alpha texture: half the texels below cutoff
+    tex = np.ones((32, 32, 4), np.float32)
+    yy, xx = np.mgrid[0:32, 0:32]
+    tex[..., 3] = ((yy // 4 + xx // 4) % 2).astype(np.float32)
+    tex[..., :3] = np.asarray([0.2, 0.6, 0.3])
+
+    screen = quad_tris([-1.5, 0, 1.2], [1.5, 0, 1.2], [1.5, 2.4, 1.2],
+                       [-1.5, 2.4, 1.2])
+    box = box_tris([0, 0.6, -0.6], [0.6, 0.6, 0.6])
+    floor = quad_tris([-6, 0, -6], [6, 0, -6], [6, 0, 6], [-6, 0, 6])
+    tris = np.concatenate([screen, box, floor])
+    mats = np.concatenate([
+        np.zeros(screen.shape[0], np.int32),
+        np.ones(box.shape[0], np.int32),
+        np.full(floor.shape[0], 2, np.int32),
+    ])
+    uvs = np.zeros((tris.shape[0], 3, 2), np.float32)
+    uvs[:2] = (screen[..., [0, 1]] + 1.5) / 3.0
+    scene = upload_scene(
+        tris[:, 0], tris[:, 1], tris[:, 2],
+        uvs=uvs, mat_ids=mats,
+        materials=[
+            {"base_color": [1, 1, 1, 1], "base_tex": 0,
+             "alpha_mode": ALPHA_MASK, "alpha_cutoff": 0.5},
+            {"base_color": [0.7, 0.25, 0.2, 1.0], "roughness": 0.5},
+            {"base_color": [0.6, 0.6, 0.6, 1.0], "roughness": 0.9},
+        ],
+        textures=[tex],
+    )
+    cam = make_camera(eye=[0, 1.4, 4.6], center=[0, 0.9, 0], fovy_deg=45.0)
+    return scene, cam
+
+
 _REGISTRY = {
     "cornell": cornell_box,
     "boxes": boxes_sunsky,
     "punctual": punctual_demo,
     "stress": stress_grid,
     "textured": textured_demo,
+    "hdr": hdr_env_demo,
+    "alpha": alpha_demo,
+    "bistro_standin": bistro_standin,
 }
 
 

@@ -80,12 +80,9 @@ def make_alias_table(weights: np.ndarray) -> tuple[AliasTable, float]:
             alias, q, pdf, alias_pdf, total = build_alias_table_np(weights)
     else:
         alias, q, pdf, alias_pdf, total = build_alias_table_np(weights)
-    return (
-        AliasTable(
-            jnp.asarray(alias), jnp.asarray(q), jnp.asarray(pdf), jnp.asarray(alias_pdf)
-        ),
-        total,
-    )
+    # numpy leaves: the scene uploader batches all tables into one transfer
+    # (utils/transfer.py); standalone users auto-convert on first device op.
+    return AliasTable(alias, q, pdf, alias_pdf), total
 
 
 def sample_alias(table: AliasTable, u1, u2):

@@ -20,10 +20,18 @@ Design (measured-in, not a translation):
   every step is ~80% of traversal time while only ~10% of steps visit a
   leaf.  The walk therefore only records (packet, leaf) EVENTS into a
   bounded per-packet queue; when any queue fills (or the walk ends) the
-  queue is drained as a COMPACTED event list: chunks of C events, one
-  8-triangle MT test per event at full lane occupancy, folded per packet
-  with a segmented prefix-min scan.  Intersection work is proportional to
-  actual leaf visits, not steps.
+  queue is drained as a COMPACTED event list, folded per packet with a
+  segmented prefix-min scan.  Intersection work is proportional to actual
+  leaf visits, not steps.
+- HIERARCHICAL DRAIN (round 2): each leaf of `leaf_size` triangles is split
+  into sub-blocks of 8 Morton-sorted triangles, each with its own AABB.
+  Draining is two-phase: (1) per (packet, leaf) event, ONE row gather pulls
+  all sub-block AABBs and a vectorized slab pass marks which sub-blocks any
+  live ray overlaps; (2) the surviving (packet, sub-block) SUB-EVENTS are
+  compacted globally (popcount + cumsum over a dense per-packet mask
+  buffer) and intersected in chunks of 8-triangle MT tests.  MT flops drop
+  from leaf_size x 128 per event to ~avg_hit_subs x 8 x 128 — the slab
+  pre-pass costs ~1/25th of the MT it replaces.
 - Draining tightens per-ray t_best between walk rounds, so the walk prunes
   nodes beyond the closest hit found so far; resolved occlusion rays get
   t_best = -inf which retires them from the slab test entirely.
@@ -38,19 +46,30 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-LEAF_SIZE_TPU = 64  # measured best on v5e: shallower walk, MT stays drained
+import os
+
+LEAF_SIZE_TPU = int(os.environ.get("EIDOLA_LEAF", "64"))
 LEAF_SIZE_CPU = 8   # smaller unroll keeps XLA:CPU compile/test time sane
+SUB_TRIS = 8        # triangles per sub-block (hierarchical drain unit)
 PACKET = 128
-QUEUE = 32          # leaf events buffered per packet between drains
-CHUNK = 4096        # events intersected per drain step
+QUEUE = int(os.environ.get("EIDOLA_QUEUE", "32"))
+CHUNK = int(os.environ.get("EIDOLA_CHUNK", "4096"))
+# drain variant: "flat" = one 64-tri MT per event; "hier" = sub-block
+# compaction (measured slower on v5e: the drain is gather-bound, see below)
+DRAIN = os.environ.get("EIDOLA_DRAIN", "flat")
 _BIG = 1e30
 
 
 class BVH(NamedTuple):
     walk: jnp.ndarray         # (N, 8) f32: bmin, bmax, miss-link, leaf-id (bitcast i32)
-    leaf_blocks: jnp.ndarray  # (L, leaf_size*12) f32: (v0, e1, e2, pad) per tri
+    leaf_blocks: jnp.ndarray  # (L*n_sub, SUB_TRIS*12) f32: (v0, e1, e2, pad) per tri
+    sub_aabb: jnp.ndarray     # (L, n_sub*8) f32: per sub-block bmin3,bmax3,pad2
     prim_id: jnp.ndarray      # (L*leaf_size,) i32 original triangle id (-1 = pad)
     n_tris: jnp.ndarray       # () i32 true triangle count
+
+    @property
+    def n_sub(self) -> int:
+        return self.sub_aabb.shape[1] // 8
 
 
 class HitRecord(NamedTuple):
@@ -83,6 +102,7 @@ def morton3d(p01: np.ndarray) -> np.ndarray:
 def build_bvh(
     v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     leaf_size: int | None = None,
+    as_numpy: bool = False,
 ) -> BVH:
     """Build the threaded BVH on the host (load-time, like the reference's
     one-shot FAST_TRACE BLAS build, accelstruct.cpp:55-65): binned-SAH
@@ -123,14 +143,48 @@ def build_bvh(
 
     n_nodes = bmin.shape[0]
     n_leaves = len(leaf_tris)
+    sub_tris = min(SUB_TRIS, leaf_size)
+    n_sub = leaf_size // sub_tris
+    assert n_sub * sub_tris == leaf_size, "leaf_size must be a multiple of 8"
+
+    # --- vectorized leaf packing with per-leaf Morton order --------------
+    # Sorting each leaf's triangles by centroid Morton code keeps every
+    # sub-block of `sub_tris` consecutive triangles spatially tight so its
+    # AABB prunes well in the hierarchical drain.
+    ext = tb_max.max(axis=0) - tb_min.min(axis=0)
+    origin = tb_min.min(axis=0)
+    c01 = (centroid - origin) / np.maximum(ext, 1e-20)
+    morton = morton3d(c01)
+
+    lens = np.asarray([t.size for t in leaf_tris], np.int64)
+    all_tris = (
+        np.concatenate(leaf_tris).astype(np.int64)
+        if n_leaves else np.zeros(0, np.int64)
+    )
+    leaf_id = np.repeat(np.arange(n_leaves, dtype=np.int64), lens)
+    order = np.lexsort((morton[all_tris], leaf_id))
+    all_tris = all_tris[order]
+    starts = np.zeros(n_leaves + 1, np.int64)
+    np.cumsum(lens, out=starts[1:])
+    pos_in_leaf = np.arange(all_tris.size, dtype=np.int64) - starts[leaf_id]
+    slot = leaf_id * leaf_size + pos_in_leaf
+
     prim_id = np.full(n_leaves * leaf_size, -1, np.int32)
-    blocks = np.zeros((n_leaves, leaf_size, 12), np.float32)
-    for b, tris in enumerate(leaf_tris):
-        k = tris.size
-        prim_id[b * leaf_size : b * leaf_size + k] = tris
-        blocks[b, :k, 0:3] = v0[tris]
-        blocks[b, :k, 3:6] = v1[tris] - v0[tris]
-        blocks[b, :k, 6:9] = v2[tris] - v0[tris]
+    prim_id[slot] = all_tris.astype(np.int32)
+    blocks = np.zeros((n_leaves * leaf_size, 12), np.float32)
+    blocks[slot, 0:3] = v0[all_tris]
+    blocks[slot, 3:6] = v1[all_tris] - v0[all_tris]
+    blocks[slot, 6:9] = v2[all_tris] - v0[all_tris]
+
+    # per sub-block AABBs; empty sub-blocks get inverted boxes (never hit)
+    sub_idx = leaf_id * n_sub + pos_in_leaf // sub_tris
+    sub_min = np.full((n_leaves * n_sub, 3), _BIG, np.float32)
+    sub_max = np.full((n_leaves * n_sub, 3), -_BIG, np.float32)
+    np.minimum.at(sub_min, sub_idx, tb_min[all_tris])
+    np.maximum.at(sub_max, sub_idx, tb_max[all_tris])
+    sub_aabb = np.zeros((n_leaves * n_sub, 8), np.float32)
+    sub_aabb[:, 0:3] = sub_min
+    sub_aabb[:, 3:6] = sub_max
 
     walk = np.zeros((n_nodes, 8), np.float32)
     walk[:, 0:3] = bmin
@@ -138,11 +192,13 @@ def build_bvh(
     walk[:, 6] = escape.astype(np.int32).view(np.float32)
     walk[:, 7] = blk.astype(np.int32).view(np.float32)
 
+    conv = (lambda x: x) if as_numpy else jnp.asarray
     return BVH(
-        walk=jnp.asarray(walk),
-        leaf_blocks=jnp.asarray(blocks.reshape(n_leaves, leaf_size * 12)),
-        prim_id=jnp.asarray(prim_id),
-        n_tris=jnp.asarray(T, jnp.int32),
+        walk=conv(walk),
+        leaf_blocks=conv(blocks.reshape(n_leaves * n_sub, sub_tris * 12)),
+        sub_aabb=conv(sub_aabb.reshape(n_leaves, n_sub * 8)),
+        prim_id=conv(prim_id),
+        n_tris=conv(np.int32(T)) if as_numpy else jnp.asarray(T, jnp.int32),
     )
 
 
@@ -286,7 +342,25 @@ def _traverse(bvh: BVH, o, d, t_min, t_max, any_hit: bool, max_steps: int):
             (node, t_best, tri_best, u_best, v_best, queue, cnt, step),
         )
 
-    def drain(carry):
+    n_sub = bvh.n_sub
+    sub_tris = bvh.leaf_blocks.shape[1] // 12
+    leaf_size = n_sub * sub_tris
+    n_dense = n_pkt * QUEUE
+    # flat drain view: one row per LEAF (all sub-block rows concatenated)
+    leaf_rows = bvh.leaf_blocks.reshape(-1, leaf_size * 12)
+
+    def drain_skip(carry):
+        """Measurement-only mode (EIDOLA_DRAIN=skip): drop queued events
+        without intersecting — isolates walk cost.  WRONG results."""
+        node, t_best, tri_best, u_best, v_best, queue, cnt, step = carry
+        cnt = jnp.zeros_like(cnt)
+        return (node, t_best, tri_best, u_best, v_best, queue, cnt, step)
+
+    def drain_flat(carry):
+        """Single-phase drain: one `leaf_size`-triangle MT per event.
+        Measured FASTER than the hierarchical variant on v5e — the drain is
+        bound by per-chunk gathers and loop overhead, not MT flops, so
+        splitting events into sub-events multiplies the expensive part."""
         node, t_best, tri_best, u_best, v_best, queue, cnt, step = carry
         offsets = jnp.concatenate(
             [jnp.zeros(1, jnp.int32), jnp.cumsum(cnt, dtype=jnp.int32)]
@@ -308,16 +382,163 @@ def _traverse(bvh: BVH, o, d, t_min, t_max, any_hit: bool, max_steps: int):
             ps = jnp.clip(ps, 0, n_pkt - 1)
             j = jnp.clip(s - offsets[ps], 0, QUEUE - 1)
             leaf = queue[ps, j]                            # (CHUNK,)
-            row = bvh.leaf_blocks[leaf]                    # (CHUNK, 96)
+            row = leaf_rows[leaf]                          # (CHUNK, leaf*12)
             g = lambda a: a[ps]                            # (CHUNK, PACKET)
             t_e, k_e, u_e, v_e = _mt_block(
                 row, g(ox), g(oy), g(oz), g(dx), g(dy), g(dz),
                 g(t_min), g(t_best),
             )
             t_e = jnp.where(valid[:, None], t_e, _BIG)
-            slot_e = leaf[:, None] * (bvh.leaf_blocks.shape[1] // 12) + k_e
+            slot_e = leaf[:, None] * leaf_size + k_e
 
-            # segmented prefix-min by packet id (events are packet-major)
+            sh = 1
+            while sh < CHUNK:
+                same = jnp.concatenate(
+                    [jnp.zeros(sh, bool), ps[sh:] == ps[:-sh]]
+                )[:, None]
+
+                def shift(a, fill):
+                    return jnp.concatenate(
+                        [jnp.full((sh,) + a.shape[1:], fill, a.dtype), a[:-sh]]
+                    )
+
+                better = same & (shift(t_e, _BIG) < t_e)
+                t_e = jnp.where(better, shift(t_e, _BIG), t_e)
+                slot_e = jnp.where(better, shift(slot_e, 0), slot_e)
+                u_e = jnp.where(better, shift(u_e, 0.0), u_e)
+                v_e = jnp.where(better, shift(v_e, 0.0), v_e)
+                sh *= 2
+
+            lo = jnp.maximum(offsets[:-1], ci * CHUNK)
+            hi = jnp.minimum(offsets[1:], ci * CHUNK + CHUNK)
+            has = hi > lo
+            rr = jnp.clip(hi - 1 - ci * CHUNK, 0, CHUNK - 1)
+            t_p, slot_p, u_p, v_p = t_e[rr], slot_e[rr], u_e[rr], v_e[rr]
+            better = has[:, None] & (t_p < t_best)
+            t_best = jnp.where(better, t_p, t_best)
+            tri_best = jnp.where(better, slot_p, tri_best)
+            u_best = jnp.where(better, u_p, u_best)
+            v_best = jnp.where(better, v_p, v_best)
+            return ci + 1, t_best, tri_best, u_best, v_best
+
+        _, t_best, tri_best, u_best, v_best = jax.lax.while_loop(
+            d_cond, d_body,
+            (jnp.int32(0), t_best, tri_best, u_best, v_best),
+        )
+        if any_hit:
+            t_best = jnp.where(tri_best >= 0, -_BIG, t_best)
+        cnt = jnp.zeros_like(cnt)
+        return (node, t_best, tri_best, u_best, v_best, queue, cnt, step)
+
+    def drain_hier(carry):
+        """Two-phase hierarchical drain (see module docstring):
+        phase 1 slab-tests each queued leaf's sub-block AABBs against the
+        packet's live rays and records a per-event sub-block bitmask; phase
+        2 compacts the surviving (packet, sub-block) sub-events globally and
+        runs `sub_tris`-wide MT on them."""
+        node, t_best, tri_best, u_best, v_best, queue, cnt, step = carry
+        offsets = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(cnt, dtype=jnp.int32)]
+        )
+        total = offsets[-1]
+        c_iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)[:, 0]
+
+        # ---- phase 1: per-event sub-block masks into a dense buffer ----
+        def m_cond(c):
+            return c[0] * CHUNK < total
+
+        def m_body(c):
+            ci, emask = c
+            s = ci * CHUNK + c_iota
+            valid = s < total
+            ps = (
+                jnp.searchsorted(offsets, s, side="right").astype(jnp.int32)
+                - 1
+            )
+            ps = jnp.clip(ps, 0, n_pkt - 1)
+            j = jnp.clip(s - offsets[ps], 0, QUEUE - 1)
+            leaf = queue[ps, j]                        # (CHUNK,)
+            arow = bvh.sub_aabb[leaf]                  # ONE gather: (CHUNK, n_sub*8)
+            g = lambda a: a[ps]                        # (CHUNK, PACKET)
+            gox, goy, goz = g(ox), g(oy), g(oz)
+            gix, giy, giz = g(ix), g(iy), g(iz)
+            gtmin, gtb = g(t_min), g(t_best)
+            mask = jnp.zeros((CHUNK,), jnp.int32)
+            for sblk in range(n_sub):
+                b = sblk * 8
+                col = lambda i: arow[:, b + i : b + i + 1]
+                tx0 = (col(0) - gox) * gix
+                tx1 = (col(3) - gox) * gix
+                ty0 = (col(1) - goy) * giy
+                ty1 = (col(4) - goy) * giy
+                tz0 = (col(2) - goz) * giz
+                tz1 = (col(5) - goz) * giz
+                tn = jnp.maximum(
+                    jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                    jnp.minimum(tz0, tz1),
+                )
+                tf = jnp.minimum(
+                    jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                    jnp.maximum(tz0, tz1),
+                )
+                hit = jnp.any((tn <= tf) & (tf >= gtmin) & (tn <= gtb), axis=1)
+                mask = mask | (hit.astype(jnp.int32) << sblk)
+            ds = jnp.where(valid, ps * QUEUE + j, n_dense)
+            emask = emask.at[ds].set(mask, mode="drop")
+            return ci + 1, emask
+
+        _, emask = jax.lax.while_loop(
+            m_cond, m_body, (jnp.int32(0), jnp.zeros(n_dense, jnp.int32))
+        )
+
+        # popcount + global compaction of sub-events
+        subcnt = jnp.zeros(n_dense, jnp.int32)
+        for sblk in range(n_sub):
+            subcnt = subcnt + ((emask >> sblk) & 1)
+        subcum = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(subcnt, dtype=jnp.int32)]
+        )
+        total_sub = subcum[-1]
+        pkt_iota = jax.lax.broadcasted_iota(jnp.int32, (n_pkt, 1), 0)[:, 0]
+        pkt_sub_lo = subcum[pkt_iota * QUEUE]
+        pkt_sub_hi = subcum[(pkt_iota + 1) * QUEUE]
+
+        # ---- phase 2: MT on compacted (packet, sub-block) sub-events ----
+        def d_cond(c):
+            return c[0] * CHUNK < total_sub
+
+        def d_body(c):
+            ci, t_best, tri_best, u_best, v_best = c
+            ss = ci * CHUNK + c_iota                  # (CHUNK,) sub-event slots
+            valid = ss < total_sub
+            e = (
+                jnp.searchsorted(subcum, ss, side="right").astype(jnp.int32)
+                - 1
+            )
+            e = jnp.clip(e, 0, n_dense - 1)
+            r = ss - subcum[e]
+            m = emask[e]
+            # sub-block id = index of the r'th set bit of m
+            sub = jnp.zeros((CHUNK,), jnp.int32)
+            cacc = jnp.zeros((CHUNK,), jnp.int32)
+            for sblk in range(n_sub):
+                bit = (m >> sblk) & 1
+                sub = jnp.where((bit == 1) & (cacc == r), sblk, sub)
+                cacc = cacc + bit
+            ps = e // QUEUE
+            j = e % QUEUE
+            leaf = queue[ps, j]
+            subrow = leaf * n_sub + sub
+            row = bvh.leaf_blocks[subrow]              # (CHUNK, sub_tris*12)
+            g = lambda a: a[ps]                        # (CHUNK, PACKET)
+            t_e, k_e, u_e, v_e = _mt_block(
+                row, g(ox), g(oy), g(oz), g(dx), g(dy), g(dz),
+                g(t_min), g(t_best),
+            )
+            t_e = jnp.where(valid[:, None], t_e, _BIG)
+            slot_e = subrow[:, None] * sub_tris + k_e
+
+            # segmented prefix-min by packet id (sub-events are packet-major)
             sh = 1
             while sh < CHUNK:
                 same = jnp.concatenate(
@@ -337,11 +558,11 @@ def _traverse(bvh: BVH, o, d, t_min, t_max, any_hit: bool, max_steps: int):
                 sh *= 2
 
             # fold each packet's chunk-suffix row into its best-so-far
-            lo = jnp.maximum(offsets[:-1], ci * CHUNK)
-            hi = jnp.minimum(offsets[1:], ci * CHUNK + CHUNK)
+            lo = jnp.maximum(pkt_sub_lo, ci * CHUNK)
+            hi = jnp.minimum(pkt_sub_hi, ci * CHUNK + CHUNK)
             has = hi > lo
-            r = jnp.clip(hi - 1 - ci * CHUNK, 0, CHUNK - 1)
-            t_p, slot_p, u_p, v_p = t_e[r], slot_e[r], u_e[r], v_e[r]
+            rr = jnp.clip(hi - 1 - ci * CHUNK, 0, CHUNK - 1)
+            t_p, slot_p, u_p, v_p = t_e[rr], slot_e[rr], u_e[rr], v_e[rr]
             better = has[:, None] & (t_p < t_best)
             t_best = jnp.where(better, t_p, t_best)
             tri_best = jnp.where(better, slot_p, tri_best)
@@ -358,6 +579,8 @@ def _traverse(bvh: BVH, o, d, t_min, t_max, any_hit: bool, max_steps: int):
             t_best = jnp.where(tri_best >= 0, -_BIG, t_best)
         cnt = jnp.zeros_like(cnt)
         return (node, t_best, tri_best, u_best, v_best, queue, cnt, step)
+
+    drain = {"hier": drain_hier, "skip": drain_skip}.get(DRAIN, drain_flat)
 
     init = (
         jnp.zeros(n_pkt, jnp.int32),                     # per-packet cursor

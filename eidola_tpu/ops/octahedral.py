@@ -62,6 +62,43 @@ def decode_unit_u32(p):
     return oct_to_dir(o)
 
 
+def encode_unit_u32_np(n):
+    """Pure-numpy encode_unit_u32 for host-side scene building (avoids a
+    device round trip per attribute array during upload)."""
+    import numpy as np
+
+    n = np.asarray(n, np.float32)
+    denom = np.maximum(
+        np.abs(n[..., 0]) + np.abs(n[..., 1]) + np.abs(n[..., 2]), 1e-20
+    )
+    x = n[..., 0] / denom
+    y = n[..., 1] / denom
+    wx = (1.0 - np.abs(y)) * np.where(x >= 0.0, 1.0, -1.0)
+    wy = (1.0 - np.abs(x)) * np.where(y >= 0.0, 1.0, -1.0)
+    below = n[..., 2] < 0.0
+    ox = np.where(below, wx, x)
+    oy = np.where(below, wy, y)
+    qx = np.round(np.clip(ox, -1.0, 1.0) * 32767.0).astype(np.int32)
+    qy = np.round(np.clip(oy, -1.0, 1.0) * 32767.0).astype(np.int32)
+    return (
+        (qx & 0xFFFF).astype(np.uint32)
+        | ((qy & 0xFFFF).astype(np.uint32) << np.uint32(16))
+    )
+
+
+def pack_unorm4x8_np(v):
+    """Pure-numpy pack_unorm4x8 for host-side scene building."""
+    import numpy as np
+
+    q = np.round(np.clip(np.asarray(v), 0.0, 1.0) * 255.0).astype(np.uint32)
+    return (
+        q[..., 0]
+        | (q[..., 1] << np.uint32(8))
+        | (q[..., 2] << np.uint32(16))
+        | (q[..., 3] << np.uint32(24))
+    )
+
+
 def pack_unorm4x8(v):
     """(..., 4) floats in [0,1] -> uint32 (like GLSL packUnorm4x8)."""
     q = jnp.round(jnp.clip(v, 0.0, 1.0) * 255.0).astype(jnp.uint32)

@@ -18,13 +18,45 @@ ordering strategies:
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
-from .bvh import BVH, HitRecord, any_hit, closest_hit
+from .bvh import BVH, HitRecord
+from .bvh import any_hit as _any_hit_xla
+from .bvh import closest_hit as _closest_hit_xla
 
 TILE_H = 8
 TILE_W = 16
+
+# traversal backend: "pallas" (per-group trip counts, ops/bvh_pallas.py) on
+# TPU when the walk table fits VMEM; "xla" = the lockstepped while-loop walk
+_TRAV = os.environ.get("EIDOLA_TRAV", "pallas")
+
+
+def _use_pallas(bvh: BVH) -> bool:
+    if _TRAV != "pallas" or jax.default_backend() == "cpu":
+        return False
+    from .bvh_pallas import pallas_supported
+
+    return pallas_supported(bvh)
+
+
+def closest_hit(bvh: BVH, o, d, t_min, t_max, max_steps: int = 100_000):
+    if _use_pallas(bvh):
+        from .bvh_pallas import closest_hit_pallas
+
+        return closest_hit_pallas(bvh, o, d, t_min, t_max, max_steps)
+    return _closest_hit_xla(bvh, o, d, t_min, t_max, max_steps=max_steps)
+
+
+def any_hit(bvh: BVH, o, d, t_min, t_max, max_steps: int = 100_000):
+    if _use_pallas(bvh):
+        from .bvh_pallas import any_hit_pallas
+
+        return any_hit_pallas(bvh, o, d, t_min, t_max, max_steps)
+    return _any_hit_xla(bvh, o, d, t_min, t_max, max_steps=max_steps)
 
 
 def _tileable(h: int, w: int) -> bool:

@@ -35,6 +35,14 @@ def make_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (ROWS,))
 
 
+def padded_height(h: int, n_devices: int, half_res: bool = True) -> int:
+    """Smallest height >= h whose full-res AND half-res row counts both
+    divide by n_devices (e.g. 1080 on 8 chips -> 1088: render 8 extra rows,
+    crop at output).  Use this to pick production multi-chip extents."""
+    q = n_devices * (2 if half_res else 1)
+    return -(-h // q) * q
+
+
 def _row_sharded(mesh: Mesh, a, h_candidates):
     """Shard dim0 across rows when it matches an image height; otherwise
     replicate."""
@@ -46,11 +54,39 @@ def _row_sharded(mesh: Mesh, a, h_candidates):
 
 
 def shard_pytree(mesh: Mesh, tree, cfg: RenderConfig):
-    """Place every image-shaped leaf row-sharded, everything else replicated."""
+    """Place every image-shaped leaf row-sharded, everything else replicated.
+
+    Fails LOUDLY when an image height does not divide by the device count
+    (padding silently, or worse silently replicating the half-res GI state,
+    would hide a 2x memory/traffic regression at production shapes) —
+    callers should pick extents via `padded_height` and crop."""
     n = mesh.devices.size
-    hs = {cfg.height, cfg.half_height if cfg.indirect_half_res else cfg.height}
-    hs = {h for h in hs if h % n == 0}
+    hs = {cfg.height}
+    if cfg.indirect_half_res:
+        hs.add(cfg.half_height)
+    bad = sorted(h for h in hs if h % n != 0)
+    if bad:
+        raise ValueError(
+            f"image heights {bad} not divisible by {n} devices; render at "
+            f"height {padded_height(cfg.height, n, cfg.indirect_half_res)} "
+            f"(padded_height) and crop the output instead"
+        )
     return jax.tree_util.tree_map(lambda a: _row_sharded(mesh, a, hs), tree)
+
+
+def assert_row_sharded(tree, heights, n_devices: int):
+    """Test/dryrun helper: every leaf whose dim0 is an image height must
+    actually be split across `n_devices` shards (not replicated)."""
+    def check(a):
+        if hasattr(a, "shape") and a.ndim >= 1 and a.shape[0] in heights:
+            ns = len({s.device for s in a.addressable_shards})
+            shard0 = a.addressable_shards[0].data.shape[0]
+            if ns != n_devices or shard0 * n_devices != a.shape[0]:
+                raise AssertionError(
+                    f"leaf {a.shape} not row-sharded: {ns} shards of "
+                    f"dim0={shard0}"
+                )
+    jax.tree_util.tree_map(check, tree)
 
 
 def make_sharded_step(cfg: RenderConfig, mesh: Mesh):

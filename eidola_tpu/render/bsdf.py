@@ -8,9 +8,15 @@ f (without the cosine); pdf is solid-angle.
 Model (matching the reference's behaviour):
 - Fresnel-Schlick with f0 = mix(0.08, albedo, metallic)
 - GTR2/GGX NDF, Smith-Schlick G2
+- f = mix(diffuse, specular, F): the diffuse lobe is scaled by (1 - F)
+  per channel (ref pbr_metallicworkflow.glsl:105,143)
+- alpha = roughness DIRECTLY — the reference comments out the perceptual
+  alpha = roughness^2 convention (ref pbr_metallicworkflow.glsl:90-91)
 - lambert diffuse scaled by (1 - metallic)
 - lobe selection probability: spec = 1 / (2 - metallic)
 - specular direction via Heitz VNDF sampling, diffuse via cosine hemisphere
+  (the pdf matches OUR sampler, so the estimator is self-consistent; the
+  reference pairs its sampler with a plain-NDF pdf)
 """
 from __future__ import annotations
 
@@ -25,6 +31,12 @@ class BsdfParams(NamedTuple):
     albedo: jnp.ndarray     # (..., 3) linear base colour
     metallic: jnp.ndarray   # (...,)
     roughness: jnp.ndarray  # (...,)
+
+
+def _alpha(p: BsdfParams):
+    """GGX alpha = roughness directly (the reference disables the
+    perceptual-roughness squaring, ref pbr_metallicworkflow.glsl:90-91)."""
+    return jnp.maximum(p.roughness, 1e-4)
 
 
 def _f0(p: BsdfParams):
@@ -64,15 +76,17 @@ def eval_bsdf(p: BsdfParams, wo, wi):
     cos_nh = jnp.clip(h[..., 2], 0.0, 1.0)
     cos_oh = jnp.clip(dot3(wo, h), 0.0, 1.0)
 
-    alpha = jnp.maximum(p.roughness * p.roughness, 1e-4)
+    alpha = _alpha(p)
     D = _ggx_d(alpha, cos_nh)
     G = _smith_g1(alpha, jnp.maximum(cos_o, 1e-6)) * _smith_g1(
         alpha, jnp.maximum(cos_i, 1e-6)
     )
     F = _fresnel_schlick(_f0(p), cos_oh)
-    spec = F * (D * G / jnp.maximum(4.0 * cos_o * cos_i, 1e-9))[..., None]
+    spec = (D * G / jnp.maximum(4.0 * cos_o * cos_i, 1e-9))[..., None]
     diff = p.albedo * ((1.0 - p.metallic) / jnp.pi)[..., None]
-    f = diff + spec
+    # mix(diffuse, specular, F): per-channel Fresnel blend
+    # (ref pbr_metallicworkflow.glsl:105,143)
+    f = diff * (1.0 - F) + spec * F
     return jnp.where(valid[..., None], f, 0.0)
 
 
@@ -85,7 +99,7 @@ def pdf_bsdf(p: BsdfParams, wo, wi):
     cos_nh = jnp.clip(h[..., 2], 0.0, 1.0)
     cos_oh = jnp.maximum(dot3(wo, h), 1e-6)
 
-    alpha = jnp.maximum(p.roughness * p.roughness, 1e-4)
+    alpha = _alpha(p)
     D = _ggx_d(alpha, cos_nh)
     g1 = _smith_g1(alpha, jnp.maximum(cos_o, 1e-6))
     # VNDF pdf: D_vis(h) / (4 (wo.h)) with D_vis = G1 D (wo.h) / cos_o
@@ -132,7 +146,7 @@ def sample_bsdf(p: BsdfParams, wo, u1, u2, u3):
     u3 selects the lobe (spec with prob 1/(2-metallic)); u1/u2 drive the
     chosen sampler.  Both lobes are evaluated with the mixture pdf so MIS
     stays consistent (ref pbr_metallicworkflow.glsl:146-173)."""
-    alpha = jnp.maximum(p.roughness * p.roughness, 1e-4)
+    alpha = _alpha(p)
     ps = _spec_prob(p)
     pick_spec = u3 < ps
 

@@ -31,7 +31,12 @@ def compose(
     h, w = direct_ldr.shape[:2]
     direct = ldr_to_hdr(direct_ldr)
     if indirect_ldr_half is not None:
-        indirect = ldr_to_hdr(upsample2x(indirect_ldr_half, h, w))
+        # only upsample when the indirect field really is half-res
+        # (cfg.indirect_half_res=False hands us a full-res buffer)
+        if indirect_ldr_half.shape[:2] != (h, w):
+            indirect = ldr_to_hdr(upsample2x(indirect_ldr_half, h, w))
+        else:
+            indirect = ldr_to_hdr(indirect_ldr_half)
     else:
         indirect = jnp.zeros_like(direct)
     if modulate:

@@ -46,6 +46,7 @@ class RenderConfig:
     restir_mode: int = RESTIR_TEMPORAL
     spatial_rounds: int = 0         # final reference build: no spatial (README.md:145)
     spatial_neighbors: int = 5      # disk-distributed neighbours per round (K1:86-121)
+    spatial_radius: float = 30.0    # neighbour disk radius in px (K1:88 Radius)
     denoise: bool = True
     denoise_direct_levels: int = 4  # ref renderer.cpp:181
     denoise_indirect_levels: int = 5  # ref renderer.cpp:194
@@ -82,8 +83,8 @@ class RenderConfig:
 class RenderParams(NamedTuple):
     """Dynamic per-frame scalars (RtxState push-constant analog,
     ref host_device.h:207-238).  All fields are jnp scalars so updating them
-    does NOT recompile."""
-    frame: jnp.ndarray              # i32 accumulated-frame index
+    does NOT recompile.  (The reference's rtxState.frame accumulation index
+    lives in FrameState.frame_idx — the carry — not here.)"""
     time_word: jnp.ndarray          # u32 RNG salt (ms since load in reference)
     firefly_clamp: jnp.ndarray      # f32 (4x env integral, sample_example.cpp:97-106)
     hdr_multiplier: jnp.ndarray     # f32
@@ -100,11 +101,10 @@ class RenderParams(NamedTuple):
     sigma_depth_indirect: jnp.ndarray
 
 
-def default_params(frame: int = 0, time_word: int = 0) -> RenderParams:
+def default_params(time_word: int = 0) -> RenderParams:
     """Defaults mirroring sample_example.hpp:154-184."""
     f32 = lambda x: jnp.asarray(x, jnp.float32)
     return RenderParams(
-        frame=jnp.asarray(frame, jnp.int32),
         time_word=jnp.asarray(time_word, jnp.uint32),
         firefly_clamp=f32(80.0),
         hdr_multiplier=f32(1.0),

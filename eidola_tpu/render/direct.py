@@ -120,11 +120,7 @@ def _gather_view(view: GBufferView, flat_idx) -> GBufferView:
         flat = a.reshape((h * w,) + a.shape[2:])[flat_idx]
         return flat.reshape((h, w) + a.shape[2:])
 
-    return GBufferView(
-        valid=g(view.valid), depth=g(view.depth), pos=g(view.pos), nrm=g(view.nrm),
-        albedo=g(view.albedo), mat_hash=g(view.mat_hash),
-        metallic=g(view.metallic), roughness=g(view.roughness),
-    )
+    return GBufferView(*[g(a) for a in view])
 
 
 def _gather_resv(r: dict, flat_idx, h: int, w: int) -> dict:
@@ -229,17 +225,24 @@ def direct_stage(
         rng_state, u = erng.rand(rng_state)
         r = resv.resv_merge_same_target(r, hist_resv, u, enabled=gates)
 
+    # --- clamp + save carry (PRE-spatial) ------------------------ K1:219-222
+    # The reference saves the clamped, pre-spatial reservoir for next-frame
+    # temporal reuse (saveNewReservoir(tempResv) BEFORE the spatial block) so
+    # spatial correlations never compound through the temporal chain.
+    if use_restir:
+        carry = resv.resv_clamp(
+            resv.resv_check(r), cfg.ris_sample_num * params.reservoir_clamp
+        )
+    else:
+        carry = resv.resv_check(r)
+
     # --- spatial reuse rounds ------------------------------- K1:86-121,224-255
     if cfg.restir_mode in (RESTIR_SPATIAL, RESTIR_SPATIOTEMPORAL):
-        for _round in range(max(cfg.spatial_rounds, 1)):
-            r = _spatial_merge(cfg, view, r, rng_state)
-            rng_state, _ = erng.rand(rng_state)
+        rng_state, r = _spatial_reuse(cfg, view, r, rng_state)
 
-    # --- clamp + shade ------------------------------------ K1:219-222,256-288
-    if use_restir:
-        r = resv.resv_clamp(
-            r, cfg.ris_sample_num * params.reservoir_clamp
-        )
+    # --- shade ---------------------------------------------------- K1:256-288
+    # (shading uses the unclamped post-spatial reservoir like the reference;
+    # W = wSum/(M pHat) is invariant to the proportional clamp anyway)
     r = resv.resv_check(r)
     sel = r["sample"]
     p_hat_sel = _phat(state, wo, sel["li"], sel["wi"])
@@ -255,33 +258,63 @@ def direct_stage(
         gbuf=gbuf,
         view=view,
         motion=motion,
-        resv=r,
+        resv=carry,
         state=state,
     )
 
 
-def _spatial_merge(cfg: RenderConfig, view: GBufferView, r: dict, rng_state):
-    """One spatial round: merge disk-distributed neighbours with the same
-    geometric gates (ref direct_stage.comp:86-121).  Neighbour reservoirs are
-    the *current* ones (single-pass approximation of the reference's
-    barrier-separated exchange)."""
+def _spatial_gates(view: GBufferView, n_view: GBufferView):
+    """Spatial acceptance gates (ref direct_stage.comp:95-105
+    findSpatialNeighbor): normal dot > 0.5, depth within 10%, NO
+    material-hash test — looser than the temporal gates."""
+    n_ok = dot3(view.nrm, n_view.nrm) > 0.5
+    d_ok = jnp.abs(view.depth - n_view.depth) < 0.1 * jnp.maximum(
+        view.depth, 1e-3
+    )
+    return view.valid & n_view.valid & n_ok & d_ok
+
+
+def _spatial_reuse(cfg: RenderConfig, view: GBufferView, r_src: dict,
+                   rng_state):
+    """Spatial rounds (ref direct_stage.comp:224-255 + 86-121): each round
+    merges cfg.spatial_neighbors disk-distributed neighbours of the CACHED
+    post-temporal reservoirs (r_src — the analog of the reference's
+    barrier-separated cacheTempReservoir exchange; both rounds read the same
+    cache) into a per-round aggregate; the round aggregates merge into one
+    `spatial` reservoir which folds into the pixel's reservoir once at the
+    end.  Self-merges are skipped.  Returns (rng_state, merged reservoir).
+
+    Reference quirks NOT replicated: its neighbour pick lands within +-1 px
+    (toConcentricDisk output used unscaled despite the declared Radius=30,
+    K1:88-91) and its geometric gate compares the centre pixel with itself
+    (loadThisGeometryInfo(imageCoords, ...), K1:97) so it always passes; we
+    use the declared radius and gate against the actual neighbour."""
     h, w = view.depth.shape
-    rng_state, u1 = erng.rand(rng_state)
-    rng_state, u2 = erng.rand(rng_state)
-    ys = jnp.arange(h)[:, None] * jnp.ones((1, w), jnp.int32)
-    xs = jnp.arange(w)[None, :] * jnp.ones((h, 1), jnp.int32)
-    radius = 30.0
-    for k in range(cfg.spatial_neighbors):
-        rng_state, a1 = erng.rand(rng_state)
-        rng_state, a2 = erng.rand(rng_state)
-        ang = 2.0 * jnp.pi * a1
-        rad = radius * jnp.sqrt(a2)
-        ny = jnp.clip((ys + (rad * jnp.sin(ang)).astype(jnp.int32)), 0, h - 1)
-        nx = jnp.clip((xs + (rad * jnp.cos(ang)).astype(jnp.int32)), 0, w - 1)
-        flat = (ny * w + nx).reshape(-1)
-        n_view = _gather_view(view, flat)
-        n_resv = _gather_resv(r, flat, h, w)
-        gates = _temporal_gates(view, n_view)
+    ys = jnp.broadcast_to(jnp.arange(h, dtype=jnp.int32)[:, None], (h, w))
+    xs = jnp.broadcast_to(jnp.arange(w, dtype=jnp.int32)[None, :], (h, w))
+    spatial = empty_di_reservoir(h, w)
+    for _round in range(max(cfg.spatial_rounds, 1)):
+        agg = empty_di_reservoir(h, w)
+        for _k in range(cfg.spatial_neighbors):
+            rng_state, a1 = erng.rand(rng_state)
+            rng_state, a2 = erng.rand(rng_state)
+            ang = 2.0 * jnp.pi * a1
+            rad = cfg.spatial_radius * jnp.sqrt(a2)
+            oy = jnp.round(rad * jnp.sin(ang)).astype(jnp.int32)
+            ox = jnp.round(rad * jnp.cos(ang)).astype(jnp.int32)
+            ny = ys + oy
+            nx = xs + ox
+            inb = (ny >= 0) & (ny < h) & (nx >= 0) & (nx < w)
+            not_self = (oy != 0) | (ox != 0)
+            flat = (jnp.clip(ny, 0, h - 1) * w + jnp.clip(nx, 0, w - 1)
+                    ).reshape(-1)
+            n_view = _gather_view(view, flat)
+            n_resv = _gather_resv(r_src, flat, h, w)
+            gates = _spatial_gates(view, n_view) & inb & not_self
+            rng_state, u = erng.rand(rng_state)
+            agg = resv.resv_merge_same_target(agg, n_resv, u, enabled=gates)
         rng_state, u = erng.rand(rng_state)
-        r = resv.resv_merge_same_target(r, n_resv, u, enabled=gates)
-    return r
+        spatial = resv.resv_merge_same_target(spatial, agg, u)
+    rng_state, u = erng.rand(rng_state)
+    merged = resv.resv_merge_same_target(r_src, spatial, u)
+    return rng_state, merged

@@ -158,7 +158,7 @@ def render_frame(
         )
         rng_half, out_i = indirect_stage(
             cfg, scene, params, cam, out_d.view, out_d.motion,
-            prev_view_full, state.gi_resv, rng_half,
+            prev_view_full, state.gi_resv, rng_half, frame_word=salt,
         )
     else:
         out_i = IndirectOut(

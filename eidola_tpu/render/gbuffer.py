@@ -21,6 +21,7 @@ from ..scene.camera import Camera
 from .shade_state import State
 
 MISS_DEPTH = 1e30
+MAX_IOR_MINUS_ONE = 3.0  # ior packs as (ior-1)/3 unorm (ref host_device.h:182)
 
 
 class GBuffer(NamedTuple):
@@ -42,13 +43,15 @@ def empty_gbuffer(h: int, w: int) -> GBuffer:
 def pack_gbuffer(state: State, t) -> GBuffer:
     """State (H, W lanes) + primary hit distance -> packed G-buffer."""
     mat_hash = hash8bit(state.mat_id.astype(jnp.uint32))
+    # material word = unorm4x8 (metallic, roughness, (ior-1)/3, transmission)
+    # (ref direct_stage.comp:41)
     mat_pack = octa.pack_unorm4x8(
         jnp.stack(
             [
                 state.metallic,
                 state.roughness,
-                jnp.zeros_like(state.metallic),  # ior/transmission: round-2
-                jnp.zeros_like(state.metallic),
+                (state.ior - 1.0) / MAX_IOR_MINUS_ONE,
+                state.transmission,
             ],
             axis=-1,
         )
@@ -73,6 +76,8 @@ class GBufferView(NamedTuple):
     mat_hash: jnp.ndarray  # (...,) u32
     metallic: jnp.ndarray  # (...,)
     roughness: jnp.ndarray  # (...,)
+    ior: jnp.ndarray       # (...,) decoded from the material word
+    transmission: jnp.ndarray  # (...,)
 
 
 def center_rays(cam: Camera, h: int, w: int):
@@ -112,4 +117,6 @@ def decode_gbuffer(gbuf: GBuffer, cam_pos, ray_dirs) -> GBufferView:
         mat_hash=mat_hash,
         metallic=jnp.where(valid, mr[..., 0], 0.0),
         roughness=jnp.where(valid, mr[..., 1], 1.0),
+        ior=jnp.where(valid, mr[..., 2] * MAX_IOR_MINUS_ONE + 1.0, 1.5),
+        transmission=jnp.where(valid, mr[..., 3], 0.0),
     )

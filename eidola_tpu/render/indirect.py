@@ -8,7 +8,9 @@ Per half-res pixel:
   path traces max_depth bounces (contribution x 1/p compensated) or stops at
   one bounce                                           [K2:39-45, 283-288]
   GI sample: BSDF-sample a first bounce direction from the surface, trace it,
-  collect radiance L arriving from the hit xs (emission + NEE'd continuation)
+  collect radiance L arriving from the hit xs (NEE at xs + MIS-weighted
+  deeper emitter/env hits; the depth-1 segment itself contributes zero —
+  DI's NEE at the primary vertex covers it, ref K2:180-216 depth==1)
   ReSTIR GI reservoir: candidate weight pHat/p1 with pHat = luminance(L)
   (pixel-independent target so temporal merges stay same-target), temporal
   fetch via the motion vector at coord*2, M-clamp      [K2:228-252]
@@ -42,7 +44,6 @@ from ..scene.data import SceneData
 from .bsdf import BsdfParams, eval_bsdf, sample_bsdf
 from .config import RESTIR_NONE, RESTIR_RIS, RenderConfig, RenderParams
 from .gbuffer import GBuffer, GBufferView
-from .pathtrace import env_radiance
 from .shade_state import State, get_state
 from .tracer import trace_closest, trace_radiance
 from .direct import _gather_resv, _gather_view, _temporal_gates
@@ -79,14 +80,15 @@ def _surface_from_view(view: GBufferView, cam: Camera) -> State:
         opacity=jnp.ones_like(view.depth),
         metallic=view.metallic,
         roughness=view.roughness,
+        ior=view.ior,
+        transmission=view.transmission,
         emission=jnp.zeros_like(ones3),
         mat_id=view.mat_hash.astype(jnp.int32),
         valid=view.valid,
     )
 
 
-def _long_tile_lanes(cfg: RenderConfig, params: RenderParams,
-                     h2: int, w2: int):
+def _long_tile_lanes(cfg: RenderConfig, frame_word, h2: int, w2: int):
     """Pick EXACTLY round(p * n_tiles) tiles per frame to trace deep bounces
     (ref indirect_stage.comp:283-288 flips one coin per 8x8 workgroup; we
     select an exact count so the deep continuation can run on a STATICALLY
@@ -103,8 +105,14 @@ def _long_tile_lanes(cfg: RenderConfig, params: RenderParams,
     n_tiles = th * tw
     k_long = max(1, int(round(cfg.multibounce_prob * n_tiles)))
 
+    # frame_word changes EVERY frame (time_word + frame_idx, frame.py) so a
+    # fresh tile set traces deep bounces each frame and temporal accumulation
+    # averages out the tile pattern (ref indirect_stage.comp:283-288 reseeds
+    # the per-workgroup coin with rtxState.time).
     tid = jnp.arange(n_tiles, dtype=jnp.uint32)
-    salt = jnp.broadcast_to(params.time_word + jnp.uint32(0x9E37), (n_tiles,))
+    salt = jnp.broadcast_to(
+        jnp.asarray(frame_word, jnp.uint32) + jnp.uint32(0x9E37), (n_tiles,)
+    )
     key = erng.pcg2d(jnp.stack([tid * jnp.uint32(7919), salt], -1))[..., 0]
     order = jnp.argsort(key)             # random permutation of tiles
     long_ids = order[:k_long].astype(jnp.int32)
@@ -130,8 +138,13 @@ def indirect_stage(
     prev_view_full: GBufferView,
     prev_resv: dict,
     rng_state,
+    frame_word=None,
 ) -> tuple[jnp.ndarray, IndirectOut]:
-    """rng_state: (h2, w2) u32 stream for the half-res lanes."""
+    """rng_state: (h2, w2) u32 stream for the half-res lanes.
+    frame_word: u32 scalar that changes every frame (salts the deep-tile
+    pick; defaults to a constant only for standalone/unit use)."""
+    if frame_word is None:
+        frame_word = jnp.uint32(0)
     stride = 2 if cfg.indirect_half_res else 1
     h2 = cfg.height // stride
     w2 = cfg.width // stride
@@ -166,14 +179,15 @@ def indirect_stage(
     tri1 = rec.tri
     xs_state = get_state(scene, origin, d1, tri1, rec.t, rec.u, rec.v)
     hit1 = xs_state.valid & gen_ok
-    escaped1 = (~xs_state.valid) & gen_ok
 
-    # radiance arriving at xv from the sample: emission at xs (weight 1 — no
-    # NEE was done at xv in this stage, DI covers it) + continued transport
-    L = jnp.where(hit1[..., None], xs_state.emission, 0.0)
-    L = L + jnp.where(
-        escaped1[..., None], env_radiance(cfg, scene, params, d1), 0.0
-    )
+    # The depth-1 segment contributes NO radiance: if the BSDF ray hits an
+    # emitter or escapes to the environment, the reference records xs/ns but
+    # leaves L = 0, because ReSTIR DI's NEE at the primary vertex already
+    # covers direct light (ref indirect_stage.comp:180-216, depth==1
+    # branches).  Adding it here at weight 1 would double-count emitters/env
+    # against the direct stage.  L accumulates only the continuation: NEE at
+    # xs and MIS-weighted emitter/env hits from depth>=2 segments.
+    L = jnp.zeros(xs_state.pos.shape, jnp.float32)
 
     # --- continuation with tiled multi-bounce -------------------- K2:129-226
     if cfg.max_depth > 1:
@@ -191,7 +205,7 @@ def indirect_stage(
                 num_bounces=1, start_state=xs_state, start_wo=-d1,
                 nee_start_depth=0,
             )
-            flat, inv_p = _long_tile_lanes(cfg, params, h2, w2)
+            flat, inv_p = _long_tile_lanes(cfg, frame_word, h2, w2)
 
             def g(a):
                 return a.reshape((h2 * w2,) + a.shape[2:])[
@@ -285,9 +299,4 @@ def _gather_view_halfres(view_full: GBufferView, flat_idx, h2: int, w2: int):
         flat = a.reshape((hf * wf,) + a.shape[2:])[flat_idx]
         return flat.reshape((h2, w2) + a.shape[2:])
 
-    return GBufferView(
-        valid=g(view_full.valid), depth=g(view_full.depth), pos=g(view_full.pos),
-        nrm=g(view_full.nrm), albedo=g(view_full.albedo),
-        mat_hash=g(view_full.mat_hash), metallic=g(view_full.metallic),
-        roughness=g(view_full.roughness),
-    )
+    return GBufferView(*[g(a) for a in view_full])

@@ -30,6 +30,8 @@ class State(NamedTuple):
     opacity: jnp.ndarray    # (...,) base alpha * texture alpha
     metallic: jnp.ndarray   # (...,)
     roughness: jnp.ndarray  # (...,)
+    ior: jnp.ndarray        # (...,) index of refraction (ref globals.glsl Material)
+    transmission: jnp.ndarray  # (...,) KHR_materials_transmission factor
     emission: jnp.ndarray   # (..., 3)
     mat_id: jnp.ndarray     # (...,) i32
     valid: jnp.ndarray      # (...,) bool — tri >= 0
@@ -80,8 +82,12 @@ def get_state(scene: SceneData, o, d, tri, t, u, v) -> State:
     m = scene.materials
     base = m.base_color[mat_id]
     base_tex = sample_bilinear(scene.textures, m.base_tex[mat_id], uv_interp)
-    albedo = base[..., :3] * base_tex[..., :3]
-    opacity = base[..., 3] * base_tex[..., 3]
+    # interpolated vertex COLOR_0 multiplies base colour (glTF 2.0 spec; the
+    # reference interpolates it into sstate.color, shade_state.glsl:123-135)
+    col_verts = octa.unpack_unorm4x8(scene.tri_color[tid])  # (..., 3, 4)
+    vcol = _bary_mix(col_verts, u, v)
+    albedo = base[..., :3] * base_tex[..., :3] * vcol[..., :3]
+    opacity = base[..., 3] * base_tex[..., 3] * vcol[..., 3]
 
     mr_tex = sample_bilinear(scene.textures, m.mr_tex[mat_id], uv_interp)
     # glTF: metallic = B channel, roughness = G channel
@@ -120,6 +126,8 @@ def get_state(scene: SceneData, o, d, tri, t, u, v) -> State:
         opacity=jnp.where(valid, opacity, 0.0),
         metallic=jnp.where(valid, metallic, 0.0),
         roughness=jnp.where(valid, roughness, 1.0),
+        ior=jnp.where(valid, m.ior[mat_id], 1.5),
+        transmission=jnp.where(valid, m.transmission[mat_id], 0.0),
         emission=z(emission),
         mat_id=jnp.where(valid, mat_id, -1),
         valid=valid,

@@ -118,17 +118,16 @@ class SceneData(NamedTuple):
 
 
 def default_sunsky() -> SunSkyParams:
-    f32 = lambda x: jnp.asarray(x, jnp.float32)
     d = np.asarray([0.45, 0.78, 0.45], np.float32)
     d = d / np.linalg.norm(d)
     return SunSkyParams(
-        sun_direction=jnp.asarray(d),
-        sun_intensity=f32(1.0),
-        sun_angular_radius=f32(0.00465),  # physical sun ~0.266 deg
-        turbidity=f32(3.0),
-        ground_color=jnp.asarray([0.4, 0.35, 0.3], jnp.float32),
-        sky_tint=jnp.asarray([1.0, 1.0, 1.0], jnp.float32),
-        enabled=jnp.asarray(1, jnp.int32),
+        sun_direction=d,
+        sun_intensity=np.float32(1.0),
+        sun_angular_radius=np.float32(0.00465),  # physical sun ~0.266 deg
+        turbidity=np.float32(3.0),
+        ground_color=np.asarray([0.4, 0.35, 0.3], np.float32),
+        sky_tint=np.asarray([1.0, 1.0, 1.0], np.float32),
+        enabled=np.int32(1),
     )
 
 
@@ -184,24 +183,22 @@ def build_lights(
     Lp = max(L, 1)
     TLp = max(TL, 1)
     return Lights(
-        punc_pos=jnp.asarray(_pad_rows(ppos, Lp)),
-        punc_color=jnp.asarray(_pad_rows(pcol, Lp)),
-        punc_dir=jnp.asarray(_pad_rows(pdir, Lp)),
-        punc_type=jnp.asarray(_pad_rows(ptype, Lp)),
-        punc_range=jnp.asarray(_pad_rows(prange, Lp)),
-        punc_cos_inner=jnp.asarray(_pad_rows(pci, Lp)),
-        punc_cos_outer=jnp.asarray(_pad_rows(pco, Lp)),
+        punc_pos=_pad_rows(ppos, Lp),
+        punc_color=_pad_rows(pcol, Lp),
+        punc_dir=_pad_rows(pdir, Lp),
+        punc_type=_pad_rows(ptype, Lp),
+        punc_range=_pad_rows(prange, Lp),
+        punc_cos_inner=_pad_rows(pci, Lp),
+        punc_cos_outer=_pad_rows(pco, Lp),
         punc_table=punc_table,
-        num_punc=jnp.asarray(L, jnp.int32),
-        trig_v0=jnp.asarray(_pad_rows(np.asarray(trig_v0, np.float32), TLp)),
-        trig_v1=jnp.asarray(_pad_rows(np.asarray(trig_v1, np.float32), TLp)),
-        trig_v2=jnp.asarray(_pad_rows(np.asarray(trig_v2, np.float32), TLp)),
-        trig_emission=jnp.asarray(
-            _pad_rows(np.asarray(trig_emission, np.float32), TLp)
-        ),
+        num_punc=np.int32(L),
+        trig_v0=_pad_rows(np.asarray(trig_v0, np.float32), TLp),
+        trig_v1=_pad_rows(np.asarray(trig_v1, np.float32), TLp),
+        trig_v2=_pad_rows(np.asarray(trig_v2, np.float32), TLp),
+        trig_emission=_pad_rows(np.asarray(trig_emission, np.float32), TLp),
         trig_table=trig_table,
-        num_trig=jnp.asarray(TL, jnp.int32),
-        trig_samp_prob=jnp.asarray(trig_prob, jnp.float32),
+        num_trig=np.int32(TL),
+        trig_samp_prob=np.float32(trig_prob),
     )
 
 
@@ -224,19 +221,19 @@ def make_materials(mats: list[dict]) -> Materials:
         return out
 
     return Materials(
-        base_color=jnp.asarray(col("base_color", [1, 1, 1, 1], (4,))),
-        emissive=jnp.asarray(col("emissive", [0, 0, 0], (3,))),
-        metallic=jnp.asarray(col("metallic", 0.0)),
-        roughness=jnp.asarray(col("roughness", 0.5)),
-        ior=jnp.asarray(col("ior", 1.5)),
-        transmission=jnp.asarray(col("transmission", 0.0)),
-        base_tex=jnp.asarray(icol("base_tex", -1)),
-        mr_tex=jnp.asarray(icol("mr_tex", -1)),
-        normal_tex=jnp.asarray(icol("normal_tex", -1)),
-        emissive_tex=jnp.asarray(icol("emissive_tex", -1)),
-        alpha_mode=jnp.asarray(icol("alpha_mode", ALPHA_OPAQUE)),
-        alpha_cutoff=jnp.asarray(col("alpha_cutoff", 0.5)),
-        double_sided=jnp.asarray(icol("double_sided", 0)),
+        base_color=col("base_color", [1, 1, 1, 1], (4,)),
+        emissive=col("emissive", [0, 0, 0], (3,)),
+        metallic=col("metallic", 0.0),
+        roughness=col("roughness", 0.5),
+        ior=col("ior", 1.5),
+        transmission=col("transmission", 0.0),
+        base_tex=icol("base_tex", -1),
+        mr_tex=icol("mr_tex", -1),
+        normal_tex=icol("normal_tex", -1),
+        emissive_tex=icol("emissive_tex", -1),
+        alpha_mode=icol("alpha_mode", ALPHA_OPAQUE),
+        alpha_cutoff=col("alpha_cutoff", 0.5),
+        double_sided=icol("double_sided", 0),
     )
 
 
@@ -245,8 +242,8 @@ def make_tex_stack(textures: list[np.ndarray] | None) -> TexStack:
     1x1 white texel so gathers always have a target."""
     if not textures:
         return TexStack(
-            data=jnp.ones((1, 1, 1, 4), jnp.float32),
-            size=jnp.ones((1, 2), jnp.int32),
+            data=np.ones((1, 1, 1, 4), np.float32),
+            size=np.ones((1, 2), np.int32),
         )
     th = max(t.shape[0] for t in textures)
     tw = max(t.shape[1] for t in textures)
@@ -261,7 +258,7 @@ def make_tex_stack(textures: list[np.ndarray] | None) -> TexStack:
             t = np.concatenate([t, np.ones(t.shape[:-1] + (1,), np.float32)], -1)
         data[i, : t.shape[0], : t.shape[1]] = t
         size[i] = (t.shape[0], t.shape[1])
-    return TexStack(data=jnp.asarray(data), size=jnp.asarray(size))
+    return TexStack(data=data, size=size)
 
 
 def upload_scene(
@@ -338,32 +335,34 @@ def upload_scene(
 
     gn = np.cross(v1 - v0, v2 - v0)
     gn /= np.maximum(np.linalg.norm(gn, axis=-1, keepdims=True), 1e-20)
-    gn_packed = np.asarray(octa.encode_unit_u32(jnp.asarray(gn.astype(np.float32))))
-    nrm_packed = np.asarray(
-        octa.encode_unit_u32(jnp.asarray(normals.astype(np.float32)))
-    )
-    tan_packed = np.asarray(
-        octa.encode_unit_u32(jnp.asarray(tangents[..., :3].astype(np.float32)))
-    )
-    col_packed = np.asarray(octa.pack_unorm4x8(jnp.asarray(colors.astype(np.float32))))
+    gn_packed = octa.encode_unit_u32_np(gn)
+    nrm_packed = octa.encode_unit_u32_np(normals)
+    tan_packed = octa.encode_unit_u32_np(tangents[..., :3])
+    col_packed = octa.pack_unorm4x8_np(colors)
 
-    return SceneData(
-        bvh=build_bvh(v0, v1, v2),
-        tri_gn=jnp.asarray(gn_packed),
-        tri_nrm=jnp.asarray(nrm_packed),
-        tri_uv=jnp.asarray(uvs.astype(np.float32)),
-        tri_tangent=jnp.asarray(tan_packed),
-        tri_hand=jnp.asarray(tangents[..., 3].astype(np.float32)),
-        tri_color=jnp.asarray(col_packed),
-        tri_mat=jnp.asarray(np.asarray(mat_ids, np.int32)),
-        tri_light_pmf=jnp.asarray(tri_light_pmf),
-        tri_light_area=jnp.asarray(tri_light_area),
+    # Everything is built host-side in numpy, then shipped with ONE
+    # device_put per dtype (SURVEY §5.8; replaces the reference's 4-queue
+    # async upload, main.cpp:151-162).
+    from ..utils.transfer import batched_device_put
+
+    scene = SceneData(
+        bvh=build_bvh(v0, v1, v2, as_numpy=True),
+        tri_gn=gn_packed,
+        tri_nrm=nrm_packed,
+        tri_uv=uvs.astype(np.float32),
+        tri_tangent=tan_packed,
+        tri_hand=tangents[..., 3].astype(np.float32),
+        tri_color=col_packed,
+        tri_mat=np.asarray(mat_ids, np.int32),
+        tri_light_pmf=tri_light_pmf,
+        tri_light_area=tri_light_area,
         materials=mat_table,
         textures=make_tex_stack(textures),
         lights=lights,
         env=env,
         sunsky=sunsky if sunsky is not None else default_sunsky(),
     )
+    return batched_device_put(scene)
 
 
 def attach_env(scene: SceneData, env: EnvMap) -> SceneData:

@@ -22,6 +22,9 @@ from .data import (
     ALPHA_BLEND,
     ALPHA_MASK,
     ALPHA_OPAQUE,
+    LIGHT_DIRECTIONAL,
+    LIGHT_POINT,
+    LIGHT_SPOT,
     SceneData,
     default_sunsky,
     upload_scene,
@@ -347,9 +350,11 @@ def load_gltf_scene(path: str, env_map=None) -> tuple[SceneData, Camera]:
         )
         if light_idx is not None and light_idx < len(gltf_lights):
             li = gltf_lights[light_idx]
-            kind = {"point": 0, "spot": 1, "directional": 2}.get(
-                li.get("type", "point"), 0
-            )
+            kind = {
+                "point": LIGHT_POINT,
+                "directional": LIGHT_DIRECTIONAL,
+                "spot": LIGHT_SPOT,
+            }.get(li.get("type", "point"), LIGHT_POINT)
             color = np.asarray(li.get("color", [1, 1, 1]), np.float64)
             color = color * li.get("intensity", 1.0)
             spot = li.get("spot", {})

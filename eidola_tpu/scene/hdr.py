@@ -114,12 +114,14 @@ def build_env_map(image: np.ndarray) -> EnvMap:
     weights = lum * d_omega
     table, integral = make_alias_table(weights.ravel())
     average = integral / (4.0 * np.pi)
-    return EnvMap(
-        image=jnp.asarray(image[..., :3]),
+    from ..utils.transfer import batched_device_put
+
+    return batched_device_put(EnvMap(
+        image=np.ascontiguousarray(image[..., :3]),
         table=table,
-        integral=jnp.asarray(integral, jnp.float32),
-        average=jnp.asarray(average, jnp.float32),
-    )
+        integral=np.float32(integral),
+        average=np.float32(average),
+    ))
 
 
 def env_eval(env: EnvMap, d, hdr_multiplier=1.0):

@@ -169,7 +169,7 @@ class TestGltfLoader:
         np.testing.assert_allclose(
             np.asarray(scene.lights.punc_pos[0]), [2, 3, 2], atol=1e-6
         )
-        assert int(scene.lights.punc_type[0]) == 1  # spot
+        assert int(scene.lights.punc_type[0]) == 2  # LIGHT_SPOT (scene.data)
         # intensity folded into color
         assert float(scene.lights.punc_color[0][0]) == pytest.approx(40.0)
 

@@ -59,3 +59,37 @@ class TestShardedStep:
         }
         # the carried G-buffer should remain row-sharded, not gathered
         assert any("rows" in s for s in shardings), shardings
+
+    def test_non_divisible_height_fails_loudly(self, setup):
+        """VERDICT r1 weak #5: heights that don't divide by the device count
+        must raise (silent replication hid a 2x regression), and
+        padded_height gives the production fix."""
+        from eidola_tpu.parallel.sharding import padded_height
+
+        _, scene, cam, params, tm = setup
+        cfg = RenderConfig(
+            width=64, height=1080 // 8,  # 135 full, 67 half: 67 % 8 != 0
+            max_depth=1, env_mode="sunsky", traversal_max_steps=512,
+        )
+        mesh = make_mesh()
+        with pytest.raises(ValueError, match="padded_height"):
+            shard_pytree(mesh, init_frame_state(cfg, cam), cfg)
+        assert padded_height(1080, 8) == 1088
+        assert padded_height(1080, 8, half_res=False) == 1080
+        assert padded_height(1088, 8) == 1088
+
+    def test_production_rows_shard(self, setup):
+        """Every carried leaf at 1080p-class padded shapes really shards."""
+        from eidola_tpu.parallel.sharding import (
+            assert_row_sharded, padded_height,
+        )
+
+        _, scene, cam, params, tm = setup
+        h = padded_height(1080, 8)
+        cfg = RenderConfig(
+            width=32, height=h, max_depth=1, env_mode="sunsky",
+            traversal_max_steps=512,
+        )
+        mesh = make_mesh()
+        state = shard_pytree(mesh, init_frame_state(cfg, cam), cfg)
+        assert_row_sharded(state, {cfg.height, cfg.half_height}, 8)

@@ -170,50 +170,190 @@ class TestFramePipeline:
         assert float(state.accum_count) == 0.0
 
 
+def _flat_view(h, w, mat_hash=None):
+    """Uniform-plane GBufferView for denoiser unit tests."""
+    from eidola_tpu.render.gbuffer import GBufferView
+
+    return GBufferView(
+        valid=jnp.ones((h, w), bool),
+        depth=jnp.ones((h, w)),
+        pos=jnp.zeros((h, w, 3)),
+        nrm=jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (h, w, 1)),
+        albedo=jnp.ones((h, w, 3)),
+        mat_hash=(mat_hash if mat_hash is not None
+                  else jnp.zeros((h, w), jnp.uint32)),
+        metallic=jnp.zeros((h, w)),
+        roughness=jnp.ones((h, w)),
+        ior=jnp.full((h, w), 1.5),
+        transmission=jnp.zeros((h, w)),
+    )
+
+
+class TestSpatialReuse:
+    """VERDICT r1 #5: spatial and spatiotemporal modes validated against the
+    NEE ground truth (same harness as test_restir_di_matches_direct_truth)."""
+
+    def _cfg(self, mode):
+        from eidola_tpu.render.config import RESTIR_SPATIAL  # noqa: F401
+
+        return RenderConfig(
+            width=W, height=H, max_depth=1, env_mode="sunsky",
+            restir_mode=mode, spatial_rounds=2, denoise=False,
+            indirect_enabled=False, accumulate=False,
+            traversal_max_steps=1024,
+        )
+
+    @pytest.mark.parametrize("mode_name", ["spatial", "spatiotemporal"])
+    def test_spatial_modes_unbiased(self, mode_name):
+        from eidola_tpu.render.config import (
+            RESTIR_SPATIAL, RESTIR_SPATIOTEMPORAL,
+        )
+
+        mode = (RESTIR_SPATIAL if mode_name == "spatial"
+                else RESTIR_SPATIOTEMPORAL)
+        scene, cam = cornell_box()
+        img, _ = _pipeline_mean_hdr(scene, cam, self._cfg(mode), frames=20)
+        cfg_tr = RenderConfig(
+            width=W, height=H, max_depth=1, env_mode="sunsky",
+            use_mis=False, use_nee=True, russian_roulette=False,
+            traversal_max_steps=1024,
+        )
+        truth = _truth(scene, cam, cfg_tr, spp=20)
+        m_p, m_t = float(img.mean()), float(truth.mean())
+        assert abs(m_p - m_t) / max(m_p, m_t) < 0.12, (m_p, m_t)
+
+    def test_carry_is_pre_spatial(self):
+        """The reservoir carried to the next frame must be the clamped
+        PRE-spatial one (ref direct_stage.comp:221-222): its M never exceeds
+        the temporal clamp even while spatial merging inflates the shaded
+        reservoir's M."""
+        from eidola_tpu.render.config import RESTIR_SPATIOTEMPORAL
+
+        scene, cam = cornell_box()
+        cfg = self._cfg(RESTIR_SPATIOTEMPORAL)
+        params, tm = default_params(), default_tonemap()
+        state = init_frame_state(cfg, cam)
+        step = make_step(cfg)
+        for i in range(4):
+            p = params._replace(time_word=jnp.asarray(i * 19, jnp.uint32))
+            state, _ = step(scene, cam, p, tm, state)
+        clamp = cfg.ris_sample_num * float(params.reservoir_clamp)
+        assert float(jnp.max(state.di_resv["num"])) <= clamp + 1e-3
+
+
+class TestTiledMultibounce:
+    def test_deep_tile_set_changes_across_frames(self):
+        """VERDICT r1 #4: the deep-bounce tile pick must reseed per frame
+        (ref indirect_stage.comp:283-288 uses rtxState.time) so accumulation
+        averages out the tile pattern."""
+        from eidola_tpu.render.indirect import _long_tile_lanes
+
+        cfg = RenderConfig(width=64, height=64)
+        sets = []
+        for fw in (0, 1, 2):
+            flat, _ = _long_tile_lanes(cfg, jnp.uint32(fw), 32, 32)
+            sets.append(frozenset(np.asarray(flat).tolist()))
+        assert sets[0] != sets[1] or sets[1] != sets[2]
+
+    def test_frame_word_wired_from_frame_idx(self):
+        """render_frame must pass a per-frame-changing salt: two consecutive
+        frames with identical params/camera still pick different tiles (we
+        proxy via the frame salt reaching _long_tile_lanes)."""
+        from eidola_tpu.render.indirect import _long_tile_lanes
+
+        cfg = RenderConfig(width=64, height=64)
+        params = default_params()
+        # frame.py computes salt = time_word + frame_idx
+        s0 = params.time_word + jnp.uint32(0)
+        s1 = params.time_word + jnp.uint32(1)
+        f0, _ = _long_tile_lanes(cfg, s0, 32, 32)
+        f1, _ = _long_tile_lanes(cfg, s1, 32, 32)
+        assert not np.array_equal(np.asarray(f0), np.asarray(f1))
+
+
+class TestShadingState:
+    def test_vertex_color_tints_albedo(self):
+        """VERDICT r1 #6: interpolated COLOR_0 multiplies base colour
+        (ref shade_state.glsl:123-135)."""
+        from eidola_tpu.render.shade_state import get_state
+        from eidola_tpu.scene.data import upload_scene
+
+        v0 = np.asarray([[-1, -1, 0]], np.float32)
+        v1 = np.asarray([[1, -1, 0]], np.float32)
+        v2 = np.asarray([[0, 1, 0]], np.float32)
+        colors = np.tile(
+            np.asarray([1.0, 0.25, 0.0, 1.0], np.float32), (1, 3, 1)
+        )
+        scene = upload_scene(
+            v0, v1, v2, colors=colors,
+            materials=[{"base_color": [1, 1, 1, 1]}],
+        )
+        o = jnp.asarray([[0.0, 0.0, 2.0]])
+        d = jnp.asarray([[0.0, 0.0, -1.0]])
+        st = get_state(
+            scene, o, d, jnp.asarray([0]), jnp.asarray([2.0]),
+            jnp.asarray([0.3]), jnp.asarray([0.3]),
+        )
+        alb = np.asarray(st.albedo[0])
+        np.testing.assert_allclose(alb, [1.0, 0.25, 0.0], atol=0.01)
+
+    def test_gbuffer_roundtrip_all_material_channels(self):
+        """VERDICT r1 #6: the material word packs and recovers all four
+        channels (metallic, roughness, ior, transmission)
+        (ref direct_stage.comp:41; unpacking pathtrace.glsl:290)."""
+        from eidola_tpu.render.gbuffer import (
+            center_rays, decode_gbuffer, pack_gbuffer,
+        )
+        from eidola_tpu.render.shade_state import State
+        from eidola_tpu.scene.camera import make_camera
+
+        h = w = 4
+        n = jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (h, w, 1))
+        st = State(
+            pos=jnp.zeros((h, w, 3)), nrm=n, geo_nrm=n,
+            uv=jnp.zeros((h, w, 2)), albedo=jnp.full((h, w, 3), 0.5),
+            opacity=jnp.ones((h, w)),
+            metallic=jnp.full((h, w), 0.25),
+            roughness=jnp.full((h, w), 0.6),
+            ior=jnp.full((h, w), 2.2),
+            transmission=jnp.full((h, w), 0.8),
+            emission=jnp.zeros((h, w, 3)),
+            mat_id=jnp.zeros((h, w), jnp.int32),
+            valid=jnp.ones((h, w), bool),
+        )
+        gbuf = pack_gbuffer(st, jnp.ones((h, w)))
+        cam = make_camera(eye=[0, 0, 1], center=[0, 0, 0], fovy_deg=45.0)
+        view = decode_gbuffer(gbuf, cam.pos, center_rays(cam, h, w))
+        tol = 1.5 / 255.0
+        assert abs(float(view.metallic[0, 0]) - 0.25) < tol
+        assert abs(float(view.roughness[0, 0]) - 0.6) < tol
+        assert abs(float(view.ior[0, 0]) - 2.2) < tol * 3.0  # ior spans 3.0
+        assert abs(float(view.transmission[0, 0]) - 0.8) < tol
+
+
 class TestDenoiser:
     def test_constant_image_invariant(self):
         from eidola_tpu.render.denoise import atrous_denoise
-        from eidola_tpu.render.gbuffer import GBufferView
 
         h = w = 32
         img = jnp.full((h, w, 3), 0.4)
-        view = GBufferView(
-            valid=jnp.ones((h, w), bool),
-            depth=jnp.ones((h, w)),
-            pos=jnp.zeros((h, w, 3)),
-            nrm=jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (h, w, 1)),
-            albedo=jnp.ones((h, w, 3)),
-            mat_hash=jnp.zeros((h, w), jnp.uint32),
-            metallic=jnp.zeros((h, w)),
-            roughness=jnp.ones((h, w)),
-        )
-        out = atrous_denoise(img, view, 3, 4.0, 128.0, 2.0)
+        out = atrous_denoise(img, _flat_view(h, w), 3, 4.0, 128.0, 2.0)
         np.testing.assert_allclose(np.asarray(out), 0.4, atol=1e-5)
 
     def test_noise_reduced_on_flat_region(self):
         from eidola_tpu.render.denoise import atrous_denoise
-        from eidola_tpu.render.gbuffer import GBufferView
 
         h = w = 32
         r = np.random.default_rng(0)
         img = jnp.asarray(0.5 + 0.2 * r.standard_normal((h, w, 3)), jnp.float32)
-        view = GBufferView(
-            valid=jnp.ones((h, w), bool),
-            depth=jnp.ones((h, w)),
-            pos=jnp.zeros((h, w, 3)),
-            nrm=jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (h, w, 1)),
-            albedo=jnp.ones((h, w, 3)),
-            mat_hash=jnp.zeros((h, w), jnp.uint32),
-            metallic=jnp.zeros((h, w)),
-            roughness=jnp.ones((h, w)),
+        out = np.asarray(
+            atrous_denoise(img, _flat_view(h, w), 3, 50.0, 128.0, 2.0)
         )
-        out = np.asarray(atrous_denoise(img, view, 3, 50.0, 128.0, 2.0))
         assert out.var() < np.asarray(img).var() * 0.2
 
     def test_material_edge_preserved(self):
         """Hash gate must stop filtering across a material boundary."""
         from eidola_tpu.render.denoise import atrous_denoise
-        from eidola_tpu.render.gbuffer import GBufferView
 
         h = w = 32
         img = jnp.concatenate(
@@ -223,16 +363,8 @@ class TestDenoiser:
             [jnp.zeros((h, w // 2), jnp.uint32), jnp.ones((h, w // 2), jnp.uint32)],
             axis=1,
         )
-        view = GBufferView(
-            valid=jnp.ones((h, w), bool),
-            depth=jnp.ones((h, w)),
-            pos=jnp.zeros((h, w, 3)),
-            nrm=jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (h, w, 1)),
-            albedo=jnp.ones((h, w, 3)),
-            mat_hash=mat,
-            metallic=jnp.zeros((h, w)),
-            roughness=jnp.ones((h, w)),
+        out = np.asarray(
+            atrous_denoise(img, _flat_view(h, w, mat), 3, 50.0, 128.0, 2.0)
         )
-        out = np.asarray(atrous_denoise(img, view, 3, 50.0, 128.0, 2.0))
         np.testing.assert_allclose(out[:, : w // 2], 0.0, atol=1e-6)
         np.testing.assert_allclose(out[:, w // 2:], 1.0, atol=1e-6)
