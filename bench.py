@@ -1,10 +1,12 @@
-"""Headline benchmark: full ReSTIR DI+GI+denoise frame at 1080p.
+"""Headline benchmark: full ReSTIR DI+GI+denoise frame at 1080p at
+REFERENCE SCALE (>= 2.8M triangles).
 
 Mirrors the reference's published benchmark (BASELINE.md: Bistro Exterior,
-1920x1080, ReSTIR DI+GI + a-trous denoise, 18.2 ms/frame total on an RTX
-3070 Ti Laptop).  Offline environment has no Bistro asset, so the triangle
-load is a procedural stand-in scene (sphere grid + ground, see
-eidola_tpu/models/scenes.py: stress_grid).
+2.83M tris, 1920x1080, ReSTIR DI+GI + a-trous denoise, 18.2 ms/frame total
+on an RTX 3070 Ti Laptop).  Offline environment has no Bistro asset, so
+the triangle load/depth complexity is a procedural stand-in city at the
+same triangle count (eidola_tpu/models/scenes.py: bistro_standin; set
+EIDOLA_BENCH_SCENE=stress for the small 64.5k-tri scene).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline = reference_ms / our_ms (>1 means faster than the reference).
@@ -12,6 +14,7 @@ vs_baseline = reference_ms / our_ms (>1 means faster than the reference).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -23,7 +26,7 @@ ITERS = 5
 
 
 def main():
-    from eidola_tpu.models.scenes import stress_grid
+    from eidola_tpu.models.scenes import bistro_standin, stress_grid
     from eidola_tpu.render.config import (
         RenderConfig,
         default_params,
@@ -31,7 +34,10 @@ def main():
     )
     from eidola_tpu.render.frame import init_frame_state, render_frame
 
-    scene, cam = stress_grid(16)
+    if os.environ.get("EIDOLA_BENCH_SCENE") == "stress":
+        scene, cam = stress_grid(16)
+    else:
+        scene, cam = bistro_standin()
     n_tris = int(scene.bvh.n_tris)
 
     # Reference config: maxDepth 4, RIS M=4, temporal reuse, 4/5 denoise

@@ -73,6 +73,13 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="resume FrameState from a checkpoint npz")
     p.add_argument("--profile-trace", default=None,
                    help="directory for a jax.profiler trace of one frame")
+    p.add_argument("--tonemap", choices=["uncharted2", "hejl", "aces"],
+                   default="uncharted2")
+    p.add_argument("--auto-exposure", type=int, default=0,
+                   help="bitfield: 1 = auto key, +2 = local mip-pyramid "
+                        "variant (ref post.frag:133-152)")
+    p.add_argument("--exposure", type=float, default=1.0)
+    p.add_argument("--no-texture-mips", action="store_true")
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -111,8 +118,16 @@ def run(argv=None) -> dict:
         alpha_geometry=bool(
             (np.asarray(scene.materials.alpha_mode) != 0).any()
         ),
+        tonemap_kind={"uncharted2": 0, "hejl": 1, "aces": 2}[args.tonemap],
+        texture_mips=not args.no_texture_mips,
     )
     params, tm = default_params(), default_tonemap()
+    import jax.numpy as jnp
+
+    tm = tm._replace(
+        auto_exposure=jnp.asarray(args.auto_exposure, jnp.int32),
+        exposure=jnp.asarray(args.exposure, jnp.float32),
+    )
     manip = CameraManipulator(
         np.asarray(cam.pos), _pivot_from_cam(cam), aspect=w / h,
     )

@@ -54,8 +54,13 @@ SUB_TRIS = 8        # triangles per sub-block (hierarchical drain unit)
 PACKET = 128
 QUEUE = int(os.environ.get("EIDOLA_QUEUE", "32"))
 CHUNK = int(os.environ.get("EIDOLA_CHUNK", "4096"))
-# drain variant: "flat" = one 64-tri MT per event; "hier" = sub-block
-# compaction (measured slower on v5e: the drain is gather-bound, see below)
+# sub-packet width: leaf events are recorded per SUBW-ray sub-group of the
+# 128-ray walk packet (see _traverse docstring).  Measured on v5 lite the
+# narrower widths LOSE (32: 233/1178 ms vs 128: 80/836 ms on the 2M-ray
+# primaries/bounce microbench): the event-count increase multiplies the
+# chunk machinery faster than the sub-union shrinkage cuts MT lanes.
+SUBW = int(os.environ.get("EIDOLA_SUBW", "128"))
+# drain variant: "flat" (default) or "skip" (measurement only: walk cost)
 DRAIN = os.environ.get("EIDOLA_DRAIN", "flat")
 _BIG = 1e30
 
@@ -176,12 +181,21 @@ def build_bvh(
     blocks[slot, 3:6] = v1[all_tris] - v0[all_tris]
     blocks[slot, 6:9] = v2[all_tris] - v0[all_tris]
 
-    # per sub-block AABBs; empty sub-blocks get inverted boxes (never hit)
+    # per sub-block AABBs; empty sub-blocks get inverted boxes (never hit).
+    # sub_idx is nondecreasing (slot-sorted), so segmented reduceat beats
+    # ufunc.at by ~2 orders of magnitude at millions of triangles.
     sub_idx = leaf_id * n_sub + pos_in_leaf // sub_tris
     sub_min = np.full((n_leaves * n_sub, 3), _BIG, np.float32)
     sub_max = np.full((n_leaves * n_sub, 3), -_BIG, np.float32)
-    np.minimum.at(sub_min, sub_idx, tb_min[all_tris])
-    np.maximum.at(sub_max, sub_idx, tb_max[all_tris])
+    if all_tris.size:
+        seg_starts = np.flatnonzero(np.diff(sub_idx, prepend=-1))
+        present = sub_idx[seg_starts]
+        sub_min[present] = np.minimum.reduceat(
+            tb_min[all_tris], seg_starts, axis=0
+        )
+        sub_max[present] = np.maximum.reduceat(
+            tb_max[all_tris], seg_starts, axis=0
+        )
     sub_aabb = np.zeros((n_leaves * n_sub, 8), np.float32)
     sub_aabb[:, 0:3] = sub_min
     sub_aabb[:, 3:6] = sub_max
@@ -210,19 +224,17 @@ def _pad_to_packets(a, pad_r: int, fill):
     )
 
 
-def _mt_block(row, ox, oy, oz, dx, dy, dz, t_min, t_lim):
-    """Leaf-block Moller-Trumbore for one leaf row per event.
 
-    row: (C, leaf_size*12); ray components: (C, PACKET).  Returns the
-    per-event best (t, slot-in-leaf k, u, v) with t = _BIG where nothing
-    hit."""
-    leaf_size = row.shape[1] // 12
-    col = lambda i: row[:, i : i + 1]
+def _mt_cols(col, n_tris: int, ox, oy, oz, dx, dy, dz, t_min, t_lim):
+    """Moller-Trumbore over `n_tris` triangles whose per-lane-row constants
+    come from `col(i)` (field i of the packed (v0, e1, e2, pad) layout,
+    broadcast to the ray shape).  Returns the per-row best
+    (t, slot-in-block k, u, v) with t = _BIG where nothing hit."""
     t_b = jnp.full(ox.shape, _BIG, jnp.float32)
     k_b = jnp.zeros(ox.shape, jnp.int32)
     u_b = jnp.zeros(ox.shape, jnp.float32)
     v_b = jnp.zeros(ox.shape, jnp.float32)
-    for k in range(leaf_size):
+    for k in range(n_tris):
         b = k * 12
         v0x, v0y, v0z = col(b), col(b + 1), col(b + 2)
         e1x, e1y, e1z = col(b + 3), col(b + 4), col(b + 5)
@@ -257,12 +269,36 @@ def _mt_block(row, ox, oy, oz, dx, dy, dz, t_min, t_lim):
     return t_b, k_b, u_b, v_b
 
 
+def _mt_block(row, ox, oy, oz, dx, dy, dz, t_min, t_lim):
+    """Leaf-block MT where row (C, n*12) holds per-row triangle data
+    (compat wrapper over _mt_cols)."""
+    return _mt_cols(
+        lambda i: row[:, i : i + 1], row.shape[1] // 12,
+        ox, oy, oz, dx, dy, dz, t_min, t_lim,
+    )
+
+
 def _traverse(bvh: BVH, o, d, t_min, t_max, any_hit: bool, max_steps: int):
     """Packet traversal core.  o, d: (R, 3); t_min/t_max: (R,).
 
-    Rays are grouped into packets of 128 consecutive entries sharing one node
-    cursor.  The walk is slab-only; leaf visits are queued and intersected in
-    compacted event chunks (see module docstring).
+    WALK: 128 coherent rays share one node cursor; the packet advances when
+    ANY member ray hits the node box — one (n_pkt, 8) row gather plus dense
+    (n_pkt, 128) vector math per step (full VPU tile occupancy).
+
+    SUB-PACKET EVENTS (round 2): leaf events are recorded per SUBW-ray
+    SUB-packet, masked by that sub-group's own slab result — each sub-packet
+    receives exactly the leaf set its own walk would visit, while the walk
+    itself stays at full-packet cost.  Measured on v5 lite, the drain is
+    ~92% of traversal and its cost is (events x lanes x tris): divergent
+    128-ray packets union ~150 leaves while 32-ray sub-unions are several
+    times smaller, so quartering the event granularity cuts total MT lanes
+    even though the event COUNT rises.
+
+    DRAIN: compacted sub-events, G = 128/SUBW events packed per dense
+    128-lane row (reshape-free packing since sub-packets are consecutive
+    lanes); triangle constants broadcast per 32-lane group; per-packet-run
+    segmented prefix-min folds results into the per-ray t_best between
+    walk rounds (tightening prunes the remaining walk).
     """
     R = o.shape[0]
     n_pkt = -(-R // PACKET)
@@ -288,7 +324,10 @@ def _traverse(bvh: BVH, o, d, t_min, t_max, any_hit: bool, max_steps: int):
         return s / jnp.maximum(jnp.abs(c), 1e-12)
 
     ix, iy, iz = inv(dx), inv(dy), inv(dz)
-    k_iota = jax.lax.broadcasted_iota(jnp.int32, (n_pkt, QUEUE), 1)
+
+    G = max(PACKET // SUBW, 1)
+    n_sp = n_pkt * G
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (n_sp, QUEUE), 1)
 
     def walk_rounds(carry):
         (node, t_best, tri_best, u_best, v_best, queue, cnt, step) = carry
@@ -318,16 +357,21 @@ def _traverse(bvh: BVH, o, d, t_min, t_max, any_hit: bool, max_steps: int):
                 jnp.maximum(tz0, tz1),
             )
             ray_hit = (t_near <= t_far) & (t_far >= t_min) & (t_near <= t_best)
-            pkt_hit = jnp.any(ray_hit, axis=1) & live
+            sub_hit = jnp.any(ray_hit.reshape(n_pkt, G, SUBW), axis=2)
+            pkt_hit = jnp.any(sub_hit, axis=1) & live
 
             miss = jax.lax.bitcast_convert_type(row[:, 6], jnp.int32)
             leaf_id = jax.lax.bitcast_convert_type(row[:, 7], jnp.int32)
             is_leaf = leaf_id >= 0
 
-            push = pkt_hit & is_leaf
+            # push the event ONLY into sub-packets whose own rays overlap
+            push = (sub_hit & (pkt_hit & is_leaf)[:, None]).reshape(n_sp)
+            leaf_sp = jnp.broadcast_to(
+                leaf_id[:, None], (n_pkt, G)
+            ).reshape(n_sp)
             queue = jnp.where(
                 (push & (cnt <= QUEUE - 1))[:, None] & (k_iota == cnt[:, None]),
-                leaf_id[:, None],
+                leaf_sp[:, None],
                 queue,
             )
             cnt = cnt + push.astype(jnp.int32)
@@ -345,9 +389,33 @@ def _traverse(bvh: BVH, o, d, t_min, t_max, any_hit: bool, max_steps: int):
     n_sub = bvh.n_sub
     sub_tris = bvh.leaf_blocks.shape[1] // 12
     leaf_size = n_sub * sub_tris
-    n_dense = n_pkt * QUEUE
-    # flat drain view: one row per LEAF (all sub-block rows concatenated)
     leaf_rows = bvh.leaf_blocks.reshape(-1, leaf_size * 12)
+    CE = CHUNK                     # sub-events per drain step
+    assert CE % G == 0
+    CR = CE // G                   # dense 128-lane rows per drain step
+
+    # (n_sp, SUBW) views for per-sub-event ray gathers
+    def spv(a):
+        return a.reshape(n_sp, SUBW)
+
+    oxs, oys, ozs = spv(ox), spv(oy), spv(oz)
+    dxs, dys, dzs = spv(dx), spv(dy), spv(dz)
+    tmins = spv(t_min)
+
+    def expand_ev(x):
+        """(CE,) per-event value -> (CR, PACKET) dense broadcast (each event
+        owns one SUBW-lane group)."""
+        return jnp.broadcast_to(
+            x.reshape(CR, G, 1), (CR, G, SUBW)
+        ).reshape(CR, PACKET)
+
+    def shift_ev(a, sh_ev, fill):
+        """Shift (CR, PACKET) by sh_ev EVENTS (= sh_ev * SUBW lanes in the
+        flat event-major layout)."""
+        flat = a.reshape(CE * SUBW)
+        return jnp.concatenate(
+            [jnp.full(sh_ev * SUBW, fill, a.dtype), flat[: -sh_ev * SUBW]]
+        ).reshape(CR, PACKET)
 
     def drain_skip(carry):
         """Measurement-only mode (EIDOLA_DRAIN=skip): drop queued events
@@ -357,217 +425,92 @@ def _traverse(bvh: BVH, o, d, t_min, t_max, any_hit: bool, max_steps: int):
         return (node, t_best, tri_best, u_best, v_best, queue, cnt, step)
 
     def drain_flat(carry):
-        """Single-phase drain: one `leaf_size`-triangle MT per event.
-        Measured FASTER than the hierarchical variant on v5e — the drain is
-        bound by per-chunk gathers and loop overhead, not MT flops, so
-        splitting events into sub-events multiplies the expensive part."""
         node, t_best, tri_best, u_best, v_best, queue, cnt, step = carry
         offsets = jnp.concatenate(
             [jnp.zeros(1, jnp.int32), jnp.cumsum(cnt, dtype=jnp.int32)]
         )
         total = offsets[-1]
-        c_iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)[:, 0]
+        c_iota = jax.lax.broadcasted_iota(jnp.int32, (CE, 1), 0)[:, 0]
 
         def d_cond(c):
-            return c[0] * CHUNK < total
+            return c[0] * CE < total
 
         def d_body(c):
             ci, t_best, tri_best, u_best, v_best = c
-            s = ci * CHUNK + c_iota                       # (CHUNK,) event slots
+            s = ci * CE + c_iota                     # (CE,) sub-event slots
             valid = s < total
-            ps = (
+            sp = (
                 jnp.searchsorted(offsets, s, side="right").astype(jnp.int32)
                 - 1
             )
-            ps = jnp.clip(ps, 0, n_pkt - 1)
-            j = jnp.clip(s - offsets[ps], 0, QUEUE - 1)
-            leaf = queue[ps, j]                            # (CHUNK,)
-            row = leaf_rows[leaf]                          # (CHUNK, leaf*12)
-            g = lambda a: a[ps]                            # (CHUNK, PACKET)
-            t_e, k_e, u_e, v_e = _mt_block(
-                row, g(ox), g(oy), g(oz), g(dx), g(dy), g(dz),
-                g(t_min), g(t_best),
+            sp = jnp.clip(sp, 0, n_sp - 1)
+            j = jnp.clip(s - offsets[sp], 0, QUEUE - 1)
+            leaf = queue[sp, j]                      # (CE,)
+            row = leaf_rows[leaf]                    # (CE, leaf_size*12)
+
+            def g(a):
+                # (CE, SUBW) sub-event lanes packed dense as (CR, PACKET)
+                return a[sp].reshape(CR, PACKET)
+
+            tb_s = spv(t_best)
+            tri_s = spv(tri_best)
+            us_ = spv(u_best)
+            vs_ = spv(v_best)
+            gox, goy, goz = g(oxs), g(oys), g(ozs)
+            gdx, gdy, gdz = g(dxs), g(dys), g(dzs)
+            gtmin, gtb = g(tmins), g(tb_s)
+
+            col = lambda i: expand_ev(row[:, i])
+            t_e, k_e, u_e, v_e = _mt_cols(
+                col, leaf_size, gox, goy, goz, gdx, gdy, gdz, gtmin, gtb,
             )
-            t_e = jnp.where(valid[:, None], t_e, _BIG)
-            slot_e = leaf[:, None] * leaf_size + k_e
+            valid_d = expand_ev(valid.astype(jnp.int32)) > 0
+            t_e = jnp.where(valid_d, t_e, _BIG)
+            slot_e = expand_ev(leaf) * leaf_size + k_e
 
+            # segmented prefix-min by sub-packet id (events are sp-major)
             sh = 1
-            while sh < CHUNK:
-                same = jnp.concatenate(
-                    [jnp.zeros(sh, bool), ps[sh:] == ps[:-sh]]
-                )[:, None]
-
-                def shift(a, fill):
-                    return jnp.concatenate(
-                        [jnp.full((sh,) + a.shape[1:], fill, a.dtype), a[:-sh]]
-                    )
-
-                better = same & (shift(t_e, _BIG) < t_e)
-                t_e = jnp.where(better, shift(t_e, _BIG), t_e)
-                slot_e = jnp.where(better, shift(slot_e, 0), slot_e)
-                u_e = jnp.where(better, shift(u_e, 0.0), u_e)
-                v_e = jnp.where(better, shift(v_e, 0.0), v_e)
+            while sh < CE:
+                same = expand_ev(
+                    jnp.concatenate(
+                        [jnp.zeros(sh, bool), sp[sh:] == sp[:-sh]]
+                    ).astype(jnp.int32)
+                ) > 0
+                better = same & (shift_ev(t_e, sh, _BIG) < t_e)
+                t_e = jnp.where(better, shift_ev(t_e, sh, _BIG), t_e)
+                slot_e = jnp.where(better, shift_ev(slot_e, sh, 0), slot_e)
+                u_e = jnp.where(better, shift_ev(u_e, sh, 0.0), u_e)
+                v_e = jnp.where(better, shift_ev(v_e, sh, 0.0), v_e)
                 sh *= 2
 
-            lo = jnp.maximum(offsets[:-1], ci * CHUNK)
-            hi = jnp.minimum(offsets[1:], ci * CHUNK + CHUNK)
-            has = hi > lo
-            rr = jnp.clip(hi - 1 - ci * CHUNK, 0, CHUNK - 1)
-            t_p, slot_p, u_p, v_p = t_e[rr], slot_e[rr], u_e[rr], v_e[rr]
-            better = has[:, None] & (t_p < t_best)
-            t_best = jnp.where(better, t_p, t_best)
-            tri_best = jnp.where(better, slot_p, tri_best)
-            u_best = jnp.where(better, u_p, u_best)
-            v_best = jnp.where(better, v_p, v_best)
-            return ci + 1, t_best, tri_best, u_best, v_best
-
-        _, t_best, tri_best, u_best, v_best = jax.lax.while_loop(
-            d_cond, d_body,
-            (jnp.int32(0), t_best, tri_best, u_best, v_best),
-        )
-        if any_hit:
-            t_best = jnp.where(tri_best >= 0, -_BIG, t_best)
-        cnt = jnp.zeros_like(cnt)
-        return (node, t_best, tri_best, u_best, v_best, queue, cnt, step)
-
-    def drain_hier(carry):
-        """Two-phase hierarchical drain (see module docstring):
-        phase 1 slab-tests each queued leaf's sub-block AABBs against the
-        packet's live rays and records a per-event sub-block bitmask; phase
-        2 compacts the surviving (packet, sub-block) sub-events globally and
-        runs `sub_tris`-wide MT on them."""
-        node, t_best, tri_best, u_best, v_best, queue, cnt, step = carry
-        offsets = jnp.concatenate(
-            [jnp.zeros(1, jnp.int32), jnp.cumsum(cnt, dtype=jnp.int32)]
-        )
-        total = offsets[-1]
-        c_iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)[:, 0]
-
-        # ---- phase 1: per-event sub-block masks into a dense buffer ----
-        def m_cond(c):
-            return c[0] * CHUNK < total
-
-        def m_body(c):
-            ci, emask = c
-            s = ci * CHUNK + c_iota
-            valid = s < total
-            ps = (
-                jnp.searchsorted(offsets, s, side="right").astype(jnp.int32)
-                - 1
+            # scatter-fold: the LAST event of each sub-packet's run within
+            # this chunk carries the run's prefix-min; merge it with the
+            # carried best (gathered as gtb / old payload per event — O(CE)
+            # rows, not O(n_sp) like a gather-fold would cost every chunk)
+            nxt_sp = jnp.concatenate(
+                [sp[1:], jnp.full(1, -1, jnp.int32)]
             )
-            ps = jnp.clip(ps, 0, n_pkt - 1)
-            j = jnp.clip(s - offsets[ps], 0, QUEUE - 1)
-            leaf = queue[ps, j]                        # (CHUNK,)
-            arow = bvh.sub_aabb[leaf]                  # ONE gather: (CHUNK, n_sub*8)
-            g = lambda a: a[ps]                        # (CHUNK, PACKET)
-            gox, goy, goz = g(ox), g(oy), g(oz)
-            gix, giy, giz = g(ix), g(iy), g(iz)
-            gtmin, gtb = g(t_min), g(t_best)
-            mask = jnp.zeros((CHUNK,), jnp.int32)
-            for sblk in range(n_sub):
-                b = sblk * 8
-                col = lambda i: arow[:, b + i : b + i + 1]
-                tx0 = (col(0) - gox) * gix
-                tx1 = (col(3) - gox) * gix
-                ty0 = (col(1) - goy) * giy
-                ty1 = (col(4) - goy) * giy
-                tz0 = (col(2) - goz) * giz
-                tz1 = (col(5) - goz) * giz
-                tn = jnp.maximum(
-                    jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-                    jnp.minimum(tz0, tz1),
+            nxt_valid = jnp.concatenate([valid[1:], jnp.zeros(1, bool)])
+            # a valid event ends its run when the next slot is a different
+            # sub-packet OR padding (padding slots clip to the last sp!)
+            run_end = valid & ((sp != nxt_sp) | ~nxt_valid)
+            idx = jnp.where(run_end, sp, n_sp)       # n_sp = dropped
+            improved = t_e < gtb
+            m_t = jnp.where(improved, t_e, gtb)
+            m_slot = jnp.where(improved, slot_e, g(tri_s))
+            m_u = jnp.where(improved, u_e, g(us_))
+            m_v = jnp.where(improved, v_e, g(vs_))
+
+            def scat(best_s, m):
+                out = best_s.at[idx].set(
+                    m.reshape(CE, SUBW), mode="drop"
                 )
-                tf = jnp.minimum(
-                    jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-                    jnp.maximum(tz0, tz1),
-                )
-                hit = jnp.any((tn <= tf) & (tf >= gtmin) & (tn <= gtb), axis=1)
-                mask = mask | (hit.astype(jnp.int32) << sblk)
-            ds = jnp.where(valid, ps * QUEUE + j, n_dense)
-            emask = emask.at[ds].set(mask, mode="drop")
-            return ci + 1, emask
+                return out.reshape(n_pkt, PACKET)
 
-        _, emask = jax.lax.while_loop(
-            m_cond, m_body, (jnp.int32(0), jnp.zeros(n_dense, jnp.int32))
-        )
-
-        # popcount + global compaction of sub-events
-        subcnt = jnp.zeros(n_dense, jnp.int32)
-        for sblk in range(n_sub):
-            subcnt = subcnt + ((emask >> sblk) & 1)
-        subcum = jnp.concatenate(
-            [jnp.zeros(1, jnp.int32), jnp.cumsum(subcnt, dtype=jnp.int32)]
-        )
-        total_sub = subcum[-1]
-        pkt_iota = jax.lax.broadcasted_iota(jnp.int32, (n_pkt, 1), 0)[:, 0]
-        pkt_sub_lo = subcum[pkt_iota * QUEUE]
-        pkt_sub_hi = subcum[(pkt_iota + 1) * QUEUE]
-
-        # ---- phase 2: MT on compacted (packet, sub-block) sub-events ----
-        def d_cond(c):
-            return c[0] * CHUNK < total_sub
-
-        def d_body(c):
-            ci, t_best, tri_best, u_best, v_best = c
-            ss = ci * CHUNK + c_iota                  # (CHUNK,) sub-event slots
-            valid = ss < total_sub
-            e = (
-                jnp.searchsorted(subcum, ss, side="right").astype(jnp.int32)
-                - 1
-            )
-            e = jnp.clip(e, 0, n_dense - 1)
-            r = ss - subcum[e]
-            m = emask[e]
-            # sub-block id = index of the r'th set bit of m
-            sub = jnp.zeros((CHUNK,), jnp.int32)
-            cacc = jnp.zeros((CHUNK,), jnp.int32)
-            for sblk in range(n_sub):
-                bit = (m >> sblk) & 1
-                sub = jnp.where((bit == 1) & (cacc == r), sblk, sub)
-                cacc = cacc + bit
-            ps = e // QUEUE
-            j = e % QUEUE
-            leaf = queue[ps, j]
-            subrow = leaf * n_sub + sub
-            row = bvh.leaf_blocks[subrow]              # (CHUNK, sub_tris*12)
-            g = lambda a: a[ps]                        # (CHUNK, PACKET)
-            t_e, k_e, u_e, v_e = _mt_block(
-                row, g(ox), g(oy), g(oz), g(dx), g(dy), g(dz),
-                g(t_min), g(t_best),
-            )
-            t_e = jnp.where(valid[:, None], t_e, _BIG)
-            slot_e = subrow[:, None] * sub_tris + k_e
-
-            # segmented prefix-min by packet id (sub-events are packet-major)
-            sh = 1
-            while sh < CHUNK:
-                same = jnp.concatenate(
-                    [jnp.zeros(sh, bool), ps[sh:] == ps[:-sh]]
-                )[:, None]
-
-                def shift(a, fill):
-                    return jnp.concatenate(
-                        [jnp.full((sh,) + a.shape[1:], fill, a.dtype), a[:-sh]]
-                    )
-
-                better = same & (shift(t_e, _BIG) < t_e)
-                t_e = jnp.where(better, shift(t_e, _BIG), t_e)
-                slot_e = jnp.where(better, shift(slot_e, 0), slot_e)
-                u_e = jnp.where(better, shift(u_e, 0.0), u_e)
-                v_e = jnp.where(better, shift(v_e, 0.0), v_e)
-                sh *= 2
-
-            # fold each packet's chunk-suffix row into its best-so-far
-            lo = jnp.maximum(pkt_sub_lo, ci * CHUNK)
-            hi = jnp.minimum(pkt_sub_hi, ci * CHUNK + CHUNK)
-            has = hi > lo
-            rr = jnp.clip(hi - 1 - ci * CHUNK, 0, CHUNK - 1)
-            t_p, slot_p, u_p, v_p = t_e[rr], slot_e[rr], u_e[rr], v_e[rr]
-            better = has[:, None] & (t_p < t_best)
-            t_best = jnp.where(better, t_p, t_best)
-            tri_best = jnp.where(better, slot_p, tri_best)
-            u_best = jnp.where(better, u_p, u_best)
-            v_best = jnp.where(better, v_p, v_best)
+            t_best = scat(tb_s, m_t)
+            tri_best = scat(tri_s, m_slot)
+            u_best = scat(us_, m_u)
+            v_best = scat(vs_, m_v)
             return ci + 1, t_best, tri_best, u_best, v_best
 
         _, t_best, tri_best, u_best, v_best = jax.lax.while_loop(
@@ -580,7 +523,7 @@ def _traverse(bvh: BVH, o, d, t_min, t_max, any_hit: bool, max_steps: int):
         cnt = jnp.zeros_like(cnt)
         return (node, t_best, tri_best, u_best, v_best, queue, cnt, step)
 
-    drain = {"hier": drain_hier, "skip": drain_skip}.get(DRAIN, drain_flat)
+    drain = drain_skip if DRAIN == "skip" else drain_flat
 
     init = (
         jnp.zeros(n_pkt, jnp.int32),                     # per-packet cursor
@@ -588,8 +531,8 @@ def _traverse(bvh: BVH, o, d, t_min, t_max, any_hit: bool, max_steps: int):
         jnp.full((n_pkt, PACKET), -1, jnp.int32),        # best padded-tri slot
         jnp.zeros((n_pkt, PACKET), jnp.float32),         # u
         jnp.zeros((n_pkt, PACKET), jnp.float32),         # v
-        jnp.zeros((n_pkt, QUEUE), jnp.int32),            # leaf-event queue
-        jnp.zeros(n_pkt, jnp.int32),                     # queue counts
+        jnp.zeros((n_sp, QUEUE), jnp.int32),             # sub-packet queues
+        jnp.zeros(n_sp, jnp.int32),                      # queue counts
         jnp.int32(0),                                    # step budget
     )
 
@@ -610,6 +553,7 @@ def _traverse(bvh: BVH, o, d, t_min, t_max, any_hit: bool, max_steps: int):
     tri = jnp.where(tri_slot >= 0, bvh.prim_id[jnp.maximum(tri_slot, 0)], -1)
     t = jnp.where(tri >= 0, jnp.abs(t), _BIG)
     return HitRecord(tri=tri, t=t, u=u, v=v), tri_slot
+
 
 
 def closest_hit(bvh: BVH, o, d, t_min, t_max, max_steps: int = 100_000):

@@ -30,9 +30,12 @@ from .bvh import closest_hit as _closest_hit_xla
 TILE_H = 8
 TILE_W = 16
 
-# traversal backend: "pallas" (per-group trip counts, ops/bvh_pallas.py) on
-# TPU when the walk table fits VMEM; "xla" = the lockstepped while-loop walk
-_TRAV = os.environ.get("EIDOLA_TRAV", "pallas")
+# traversal backend: "xla" = the vectorized while-loop walk with sub-packet
+# event drain (default; measured fastest on v5 lite); "pallas" = per-group
+# trip-count kernel (ops/bvh_pallas.py) — A/B'd slower (127 vs 81 ms on 2M
+# primaries): its per-step (8,8) scalar work can't amortize like the
+# megavector walk, kept for future iteration
+_TRAV = os.environ.get("EIDOLA_TRAV", "xla")
 
 
 def _use_pallas(bvh: BVH) -> bool:

@@ -70,6 +70,12 @@ class RenderConfig:
     # to alpha_hops times.  Static so opaque scenes pay nothing.
     alpha_geometry: bool = False
     alpha_hops: int = 4
+    # ray-cone mip filtering of textures (level from hit distance x pixel
+    # angle; the reference builds mip chains but shades at lod 0)
+    texture_mips: bool = True
+    # tonemap operator: 0 = Uncharted2, 1 = HejlRichard, 2 = ACES
+    # (ref tonemapping.glsl; selected at post.frag:29)
+    tonemap_kind: int = 0
 
     @property
     def half_width(self) -> int:
@@ -130,9 +136,11 @@ class TonemapParams(NamedTuple):
     vignette: jnp.ndarray
     avg_lum: jnp.ndarray
     zoom: jnp.ndarray
-    auto_exposure: jnp.ndarray      # i32 0/1
+    auto_exposure: jnp.ndarray      # i32 bitfield: 1 = auto key, 2 = local
     exposure: jnp.ndarray
     dither: jnp.ndarray             # i32 0/1
+    y_white: jnp.ndarray            # f32 burning white (ref Tonemapper)
+    key: jnp.ndarray                # f32 log-average key
 
 
 def default_tonemap() -> TonemapParams:
@@ -147,4 +155,6 @@ def default_tonemap() -> TonemapParams:
         auto_exposure=jnp.asarray(0, jnp.int32),
         exposure=f32(1.0),
         dither=jnp.asarray(1, jnp.int32),
+        y_white=f32(0.5),
+        key=f32(0.5),
     )

@@ -156,7 +156,10 @@ def direct_stage(
         rng_state, coherent=True,
     )
     t_hit = rec.t
-    state = get_state(scene, o, d, rec.tri, t_hit, rec.u, rec.v)
+    # ray-cone angle per pixel for texture mip selection: 2 tan(fovy/2) / h
+    cone = (2.0 * cam.proj_inv[1, 1] / h) if cfg.texture_mips else None
+    state = get_state(scene, o, d, rec.tri, t_hit, rec.u, rec.v,
+                      cone_angle=cone)
     wo = -d
 
     # --- emission / env passthrough ------------------------------ K1:154-174

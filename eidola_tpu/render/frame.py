@@ -211,7 +211,9 @@ def render_frame(
         )
 
     # ---- post / tonemap (K8) ----------------------------------------------
-    image = post_process(display_hdr, tm, frame_word=salt)
+    image = post_process(
+        display_hdr, tm, frame_word=salt, tonemap_kind=cfg.tonemap_kind
+    )
 
     new_state = FrameState(
         frame_idx=state.frame_idx + 1,

@@ -177,7 +177,13 @@ def indirect_stage(
         rng_state,
     )
     tri1 = rec.tri
-    xs_state = get_state(scene, origin, d1, tri1, rec.t, rec.u, rec.v)
+    # widened ray cone for the half-res GI fetches
+    cone = (
+        (2.0 * stride * cam.proj_inv[1, 1] / cfg.height)
+        if cfg.texture_mips else None
+    )
+    xs_state = get_state(scene, origin, d1, tri1, rec.t, rec.u, rec.v,
+                         cone_angle=cone)
     hit1 = xs_state.valid & gen_ok
 
     # The depth-1 segment contributes NO radiance: if the BSDF ray hits an

@@ -50,14 +50,21 @@ def _bary_mix(attr3, u, v):
     )
 
 
-def get_state(scene: SceneData, o, d, tri, t, u, v) -> State:
+def get_state(scene: SceneData, o, d, tri, t, u, v, cone_angle=None) -> State:
     """Build shading state for each lane from a closest-hit record.
 
     o, d: (..., 3) ray; tri: (...,) i32 (-1 = miss); t/u/v hit params.
+    cone_angle: scalar ray-cone angle (radians/pixel); when given, texture
+    fetches mip-filter with footprint = t * cone_angle * uv_density
+    (replaces screen-space derivatives, which a ray tracer lacks; the
+    reference's own shading samples lod 0, gltf_material.glsl).
     Lanes with tri < 0 get a zeroed state with valid=False.
     """
     valid = tri >= 0
     tid = jnp.maximum(tri, 0)
+    fp = None
+    if cone_angle is not None:
+        fp = t * cone_angle * scene.tri_uv_density[tid]
 
     pos = o + d * t[..., None]
 
@@ -81,7 +88,8 @@ def get_state(scene: SceneData, o, d, tri, t, u, v) -> State:
     mat_id = scene.tri_mat[tid]
     m = scene.materials
     base = m.base_color[mat_id]
-    base_tex = sample_bilinear(scene.textures, m.base_tex[mat_id], uv_interp)
+    base_tex = sample_bilinear(scene.textures, m.base_tex[mat_id], uv_interp,
+                               footprint=fp)
     # interpolated vertex COLOR_0 multiplies base colour (glTF 2.0 spec; the
     # reference interpolates it into sstate.color, shade_state.glsl:123-135)
     col_verts = octa.unpack_unorm4x8(scene.tri_color[tid])  # (..., 3, 4)
@@ -89,12 +97,14 @@ def get_state(scene: SceneData, o, d, tri, t, u, v) -> State:
     albedo = base[..., :3] * base_tex[..., :3] * vcol[..., :3]
     opacity = base[..., 3] * base_tex[..., 3] * vcol[..., 3]
 
-    mr_tex = sample_bilinear(scene.textures, m.mr_tex[mat_id], uv_interp)
+    mr_tex = sample_bilinear(scene.textures, m.mr_tex[mat_id], uv_interp,
+                             footprint=fp)
     # glTF: metallic = B channel, roughness = G channel
     metallic = jnp.clip(m.metallic[mat_id] * mr_tex[..., 2], 0.0, 1.0)
     roughness = jnp.clip(m.roughness[mat_id] * mr_tex[..., 1], 0.02, 1.0)
 
-    em_tex = sample_bilinear(scene.textures, m.emissive_tex[mat_id], uv_interp)
+    em_tex = sample_bilinear(scene.textures, m.emissive_tex[mat_id], uv_interp,
+                             footprint=fp)
     emission = m.emissive[mat_id] * em_tex[..., :3]
 
     # normal mapping via per-vertex tangent frame (ref gltf_material.glsl:134-146)
@@ -105,7 +115,8 @@ def get_state(scene: SceneData, o, d, tri, t, u, v) -> State:
     # orthogonalize against the shading normal
     tangent = normalize(tangent - shade_n * dot3(tangent, shade_n)[..., None])
     bitan = jnp.cross(shade_n, tangent) * jnp.sign(hand)[..., None]
-    nm = sample_bilinear(scene.textures, m.normal_tex[mat_id], uv_interp)
+    nm = sample_bilinear(scene.textures, m.normal_tex[mat_id], uv_interp,
+                         footprint=fp)
     nm_vec = nm[..., :3] * 2.0 - 1.0
     mapped = normalize(
         tangent * nm_vec[..., 0:1] + bitan * nm_vec[..., 1:2] + shade_n * nm_vec[..., 2:3]

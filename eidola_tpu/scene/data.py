@@ -46,11 +46,22 @@ class Materials(NamedTuple):
     double_sided: jnp.ndarray    # (M,) i32
 
 
+WRAP_REPEAT = 0
+WRAP_CLAMP = 1
+WRAP_MIRROR = 2
+
+
 class TexStack(NamedTuple):
-    """Padded texture array stack: uniform-shape gather target
-    (replaces per-texture Vulkan samplers, ref scene.cpp:554-646)."""
-    data: jnp.ndarray   # (NT, TH, TW, 4) f32 linear RGBA
-    size: jnp.ndarray   # (NT, 2) i32 (h, w) actual extent
+    """Padded texture array stack with an in-plane mip atlas: uniform-shape
+    gather target (replaces per-texture Vulkan combined image samplers with
+    their wrap modes and full mip chains, ref scene.cpp:554-646).
+
+    Mip level l >= 1 of a texture lives at x offset 2*TW - TW/2^(l-1) in the
+    same rows, so a per-lane level turns into pure index arithmetic on one
+    array (no per-level storage)."""
+    data: jnp.ndarray   # (NT, TH, 2*TW, 4) f32 linear RGBA + mip atlas
+    size: jnp.ndarray   # (NT, 2) i32 (h, w) level-0 extent
+    wrap: jnp.ndarray   # (NT, 2) i32 (wrap_s, wrap_t): WRAP_* constants
 
 
 class Lights(NamedTuple):
@@ -110,6 +121,8 @@ class SceneData(NamedTuple):
                                 # a light (0 = not emissive); used for MIS when
                                 # a BSDF ray hits an emitter (pathtrace.glsl:74-88)
     tri_light_area: jnp.ndarray  # (T,) f32 world-space area (for the same MIS pdf)
+    tri_uv_density: jnp.ndarray  # (T,) f32 sqrt(uv_area/world_area): texture
+                                 # footprint scale for mip selection
     materials: Materials
     textures: TexStack
     lights: Lights
@@ -237,28 +250,70 @@ def make_materials(mats: list[dict]) -> Materials:
     )
 
 
-def make_tex_stack(textures: list[np.ndarray] | None) -> TexStack:
-    """Pad textures to a uniform (NT, TH, TW, 4) stack.  Empty scene gets a
-    1x1 white texel so gathers always have a target."""
+def _mip_down(img: np.ndarray) -> np.ndarray:
+    """One box-filter mip reduction (pads odd extents by edge clamp)."""
+    h, w = img.shape[:2]
+    if h > 1 and h % 2:
+        img = np.concatenate([img, img[-1:]], axis=0)
+        h += 1
+    if w > 1 and w % 2:
+        img = np.concatenate([img, img[:, -1:]], axis=1)
+        w += 1
+    nh, nw = max(h // 2, 1), max(w // 2, 1)
+    out = img
+    if h > 1:
+        out = out.reshape(nh, 2, out.shape[1], 4).mean(axis=1)
+    if w > 1:
+        out = out.reshape(out.shape[0], nw, 2, 4).mean(axis=2)
+    return out
+
+
+def make_tex_stack(textures: list | None) -> TexStack:
+    """Pad textures to a uniform (NT, TH, 2*TW, 4) stack with a box-filter
+    mip atlas.  Entries are arrays or dicts {"image", "wrap_s", "wrap_t"}
+    (WRAP_* constants; default repeat, ref scene.cpp:554-646 sampler
+    translation).  Empty scene gets a 1x1 white texel."""
     if not textures:
         return TexStack(
-            data=np.ones((1, 1, 1, 4), np.float32),
+            data=np.ones((1, 1, 2, 4), np.float32),
             size=np.ones((1, 2), np.int32),
+            wrap=np.zeros((1, 2), np.int32),
         )
-    th = max(t.shape[0] for t in textures)
-    tw = max(t.shape[1] for t in textures)
-    nt = len(textures)
-    data = np.zeros((nt, th, tw, 4), np.float32)
+    entries = []
+    for t in textures:
+        if isinstance(t, dict):
+            entries.append(
+                (np.asarray(t["image"], np.float32),
+                 int(t.get("wrap_s", WRAP_REPEAT)),
+                 int(t.get("wrap_t", WRAP_REPEAT)))
+            )
+        else:
+            entries.append((np.asarray(t, np.float32), WRAP_REPEAT, WRAP_REPEAT))
+    th = max(t[0].shape[0] for t in entries)
+    tw = max(t[0].shape[1] for t in entries)
+    nt = len(entries)
+    data = np.zeros((nt, th, 2 * tw, 4), np.float32)
     size = np.zeros((nt, 2), np.int32)
-    for i, t in enumerate(textures):
-        t = np.asarray(t, np.float32)
+    wrap = np.zeros((nt, 2), np.int32)
+    for i, (t, ws, wt) in enumerate(entries):
         if t.ndim == 2:
             t = t[..., None].repeat(3, -1)
         if t.shape[-1] == 3:
             t = np.concatenate([t, np.ones(t.shape[:-1] + (1,), np.float32)], -1)
         data[i, : t.shape[0], : t.shape[1]] = t
         size[i] = (t.shape[0], t.shape[1])
-    return TexStack(data=data, size=size)
+        wrap[i] = (ws, wt)
+        # mip chain: level l at x offset 2*tw - tw >> (l-1)
+        level = t
+        l = 1
+        while (level.shape[0] > 1 or level.shape[1] > 1) and (
+            tw >> (l - 1)
+        ) >= 1:
+            level = _mip_down(level)
+            xoff = 2 * tw - (tw >> (l - 1))
+            data[i, : level.shape[0], xoff : xoff + level.shape[1]] = level
+            l += 1
+    return TexStack(data=data, size=size, wrap=wrap)
 
 
 def upload_scene(
@@ -333,6 +388,14 @@ def upload_scene(
             : int(emissive_mask.sum())
         ]
 
+    # uv-space density for mip selection: texels-per-meter modulo resolution
+    uv_e1 = uvs[:, 1] - uvs[:, 0]
+    uv_e2 = uvs[:, 2] - uvs[:, 0]
+    uv_area = 0.5 * np.abs(uv_e1[:, 0] * uv_e2[:, 1] - uv_e1[:, 1] * uv_e2[:, 0])
+    tri_uv_density = np.sqrt(
+        uv_area / np.maximum(tri_light_area, 1e-20)
+    ).astype(np.float32)
+
     gn = np.cross(v1 - v0, v2 - v0)
     gn /= np.maximum(np.linalg.norm(gn, axis=-1, keepdims=True), 1e-20)
     gn_packed = octa.encode_unit_u32_np(gn)
@@ -356,6 +419,7 @@ def upload_scene(
         tri_mat=np.asarray(mat_ids, np.int32),
         tri_light_pmf=tri_light_pmf,
         tri_light_area=tri_light_area,
+        tri_uv_density=tri_uv_density,
         materials=mat_table,
         textures=make_tex_stack(textures),
         lights=lights,

@@ -206,8 +206,27 @@ def load_gltf_scene(path: str, env_map=None) -> tuple[SceneData, Camera]:
     tex_source = [
         t.get("source", -1) for t in gltf.get("textures", [])
     ]
-    used_images: dict[tuple[int, bool], int] = {}
-    images: list[np.ndarray] = []
+    tex_sampler = [
+        t.get("sampler", -1) for t in gltf.get("textures", [])
+    ]
+    samplers = gltf.get("samplers", [])
+    # glTF wrap enums -> WRAP_* (ref scene.cpp:554-646 sampler translation)
+    from .data import WRAP_CLAMP, WRAP_MIRROR, WRAP_REPEAT
+
+    _WRAP = {10497: WRAP_REPEAT, 33071: WRAP_CLAMP, 33648: WRAP_MIRROR}
+
+    def _wraps(tex_idx: int) -> tuple[int, int]:
+        si = tex_sampler[tex_idx]
+        if si < 0 or si >= len(samplers):
+            return WRAP_REPEAT, WRAP_REPEAT
+        s = samplers[si]
+        return (
+            _WRAP.get(s.get("wrapS", 10497), WRAP_REPEAT),
+            _WRAP.get(s.get("wrapT", 10497), WRAP_REPEAT),
+        )
+
+    used_images: dict[tuple[int, bool, int, int], int] = {}
+    images: list[dict] = []
 
     def tex_id(tex_idx: int | None, srgb: bool) -> int:
         if tex_idx is None or tex_idx < 0 or tex_idx >= len(tex_source):
@@ -215,7 +234,8 @@ def load_gltf_scene(path: str, env_map=None) -> tuple[SceneData, Camera]:
         src = tex_source[tex_idx]
         if src < 0:
             return -1
-        key = (src, srgb)
+        ws, wt = _wraps(tex_idx)
+        key = (src, srgb, ws, wt)
         if key not in used_images:
             arr = _decode_image(gltf, bufs, base_dir, src)
             if srgb:
@@ -223,7 +243,9 @@ def load_gltf_scene(path: str, env_map=None) -> tuple[SceneData, Camera]:
                     [_srgb_to_linear(arr[..., :3]), arr[..., 3:]], -1
                 )
             used_images[key] = len(images)
-            images.append(arr.astype(np.float32))
+            images.append(
+                {"image": arr.astype(np.float32), "wrap_s": ws, "wrap_t": wt}
+            )
         return used_images[key]
 
     for m in gltf.get("materials", []):

@@ -21,7 +21,9 @@ from tests.test_golden import GOLDEN, GOLDEN_CASES, render_case  # noqa: E402
 
 
 def main():
-    for name, (scene_key, cfg_kwargs) in sorted(GOLDEN_CASES.items()):
+    which = sys.argv[1:] or sorted(GOLDEN_CASES)
+    for name in which:
+        scene_key, cfg_kwargs = GOLDEN_CASES[name]
         img = render_case(scene_key, cfg_kwargs)
         path = os.path.join(GOLDEN, f"{name}.npy")
         np.save(path, img)
