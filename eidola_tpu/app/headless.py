@@ -163,16 +163,21 @@ def run(argv=None) -> dict:
             state, outputs = step(scene, cam, params, tm, state)
             jax.block_until_ready(outputs["image"])
 
-    img = np.asarray(outputs["image"])
     if args.descale > 1:
-        from PIL import Image
-
+        # on-device bilinear upscale back to the requested extent — the
+        # render-extent division stays inside the compiled pipeline like the
+        # reference's descaling (sample_example.cpp:396-399; post samples
+        # the smaller region, post.frag uvCoords scaling)
         full_w = args.size[0]
         full_h = args.size[1] if len(args.size) > 1 else args.size[0]
-        pil = Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8))
-        img = np.asarray(
-            pil.resize((full_w, full_h), Image.BILINEAR), np.float32
-        ) / 255.0
+        up = jax.jit(
+            lambda im: jax.image.resize(
+                im, (full_h, full_w, 3), method="bilinear"
+            )
+        )
+        img = np.asarray(up(outputs["image"]))
+    else:
+        img = np.asarray(outputs["image"])
     _write_png(args.out, img)
     if args.hdr_out:
         np.save(args.hdr_out, np.asarray(outputs["hdr"]))

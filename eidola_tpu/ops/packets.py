@@ -22,6 +22,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .bvh import BVH, HitRecord
 from .bvh import any_hit as _any_hit_xla
@@ -153,7 +154,27 @@ def ray_sort_keys(bvh: BVH, o, d, dead):
     return (dead.astype(jnp.uint32) << 30) | (m << 3) | octant
 
 
-def _sorted_traverse(fn, bvh: BVH, o, d, t_min, t_max, max_steps: int):
+def make_ray_order(bvh: BVH, o, d, dead):
+    """(perm, inv) ordering rays by (dead, origin Morton, octant).
+
+    The inverse permutation comes from a SCATTER, not a second sort — a
+    full 2M-ray sort costs ~42 ms on v5 lite, the scatter one memory pass.
+    The returned order can be REUSED by later traversals whose rays share
+    (approximately) the same origins — e.g. the NEE shadow rays spawned at
+    the hits of the bounce rays that produced it (SURVEY §5.7 wavefront)."""
+    shape = o.shape[:-1]
+    R = int(np.prod(shape)) if shape else 1
+    keys = ray_sort_keys(
+        bvh, o.reshape(R, 3), d.reshape(R, 3), dead.reshape(R)
+    )
+    iota = jnp.arange(R, dtype=jnp.int32)
+    _, perm = jax.lax.sort_key_val(keys, iota)
+    inv = jnp.zeros(R, jnp.int32).at[perm].set(iota)
+    return perm, inv
+
+
+def _sorted_traverse(fn, bvh: BVH, o, d, t_min, t_max, max_steps: int,
+                     order=None):
     shape = o.shape[:-1]
     R = 1
     for s in shape:
@@ -162,10 +183,9 @@ def _sorted_traverse(fn, bvh: BVH, o, d, t_min, t_max, max_steps: int):
     d = d.reshape(R, 3)
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), shape).reshape(R)
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), shape).reshape(R)
-    keys = ray_sort_keys(bvh, o, d, dead=t_max < t_min)
-    iota = jnp.arange(R, dtype=jnp.int32)
-    _, perm = jax.lax.sort_key_val(keys, iota)
-    _, inv = jax.lax.sort_key_val(perm, iota)
+    if order is None:
+        order = make_ray_order(bvh, o, d, dead=t_max < t_min)
+    perm, inv = order
     out = fn(
         bvh, o[perm], d[perm], t_min[perm], t_max[perm], max_steps=max_steps
     )
@@ -174,12 +194,19 @@ def _sorted_traverse(fn, bvh: BVH, o, d, t_min, t_max, max_steps: int):
     return out[inv].reshape(shape)
 
 
-def closest_hit_sorted(bvh: BVH, o, d, t_min, t_max, max_steps: int = 100_000):
+def closest_hit_sorted(bvh: BVH, o, d, t_min, t_max, max_steps: int = 100_000,
+                       order=None):
     """Closest hit for incoherent (bounce) ray fields of any shape: sorts by
-    (dead, origin Morton, octant), traverses, restores order."""
-    return _sorted_traverse(closest_hit, bvh, o, d, t_min, t_max, max_steps)
+    (dead, origin Morton, octant), traverses, restores order.  Pass `order`
+    from make_ray_order to skip the sort (reuse across same-origin waves)."""
+    return _sorted_traverse(
+        closest_hit, bvh, o, d, t_min, t_max, max_steps, order
+    )
 
 
-def any_hit_sorted(bvh: BVH, o, d, t_min, t_max, max_steps: int = 100_000):
+def any_hit_sorted(bvh: BVH, o, d, t_min, t_max, max_steps: int = 100_000,
+                   order=None):
     """Occlusion query for incoherent (shadow) ray fields of any shape."""
-    return _sorted_traverse(any_hit, bvh, o, d, t_min, t_max, max_steps)
+    return _sorted_traverse(
+        any_hit, bvh, o, d, t_min, t_max, max_steps, order
+    )

@@ -81,13 +81,21 @@ def _alpha_passthrough(scene: SceneData, rec, rng_state):
 
 
 def trace_closest(cfg: RenderConfig, scene: SceneData, o, d, t_min, t_max,
-                  rng_state, coherent: bool = False):
+                  rng_state, coherent: bool = False, order=None):
     """Closest-hit with the HitTest alpha loop (ref traceray_rq.glsl
     ClosestHit): transparent hits re-trace from just past the hit, up to
     cfg.alpha_hops times.  Statically free when cfg.alpha_geometry is off.
-    Returns (rng_state, HitRecord)."""
-    fn = closest_hit_img if (coherent and o.ndim == 3) else closest_hit_sorted
-    rec = fn(scene.bvh, o, d, t_min, t_max, max_steps=cfg.traversal_max_steps)
+    `order` (from ops.packets.make_ray_order) skips the wavefront sort —
+    reuse it for waves sharing origins.  Returns (rng_state, HitRecord)."""
+    if coherent and o.ndim == 3:
+        rec = closest_hit_img(
+            scene.bvh, o, d, t_min, t_max, max_steps=cfg.traversal_max_steps
+        )
+    else:
+        rec = closest_hit_sorted(
+            scene.bvh, o, d, t_min, t_max,
+            max_steps=cfg.traversal_max_steps, order=order,
+        )
     if not cfg.alpha_geometry:
         return rng_state, rec
     for _ in range(cfg.alpha_hops):
@@ -97,7 +105,7 @@ def trace_closest(cfg: RenderConfig, scene: SceneData, o, d, t_min, t_max,
             scene.bvh, o, d,
             jnp.where(passthrough, new_tmin, t_min),
             jnp.where(passthrough, t_max, -1.0),
-            max_steps=cfg.traversal_max_steps,
+            max_steps=cfg.traversal_max_steps, order=order,
         )
         rec = type(rec)(*[
             jnp.where(passthrough, b, a) for a, b in zip(rec, rec2)
@@ -106,13 +114,14 @@ def trace_closest(cfg: RenderConfig, scene: SceneData, o, d, t_min, t_max,
 
 
 def trace_occlusion(cfg: RenderConfig, scene: SceneData, o, d, t_min, t_max,
-                    rng_state):
+                    rng_state, order=None):
     """Occlusion with stochastic alpha (ref traceray_rq.glsl:153-185 AnyHit):
     alpha-rejected hits don't occlude; the ray marches past them.
     Returns (rng_state, occluded bool)."""
     if not cfg.alpha_geometry:
         occ = any_hit_sorted(
-            scene.bvh, o, d, t_min, t_max, max_steps=cfg.traversal_max_steps
+            scene.bvh, o, d, t_min, t_max,
+            max_steps=cfg.traversal_max_steps, order=order,
         )
         return rng_state, occ
     shape = t_max.shape if hasattr(t_max, "shape") else o.shape[:-1]
@@ -122,7 +131,7 @@ def trace_occlusion(cfg: RenderConfig, scene: SceneData, o, d, t_min, t_max,
     for _ in range(cfg.alpha_hops + 1):
         rec = closest_hit_sorted(
             scene.bvh, o, d, cur_tmin, cur_tmax,
-            max_steps=cfg.traversal_max_steps,
+            max_steps=cfg.traversal_max_steps, order=order,
         )
         rng_state, passthrough = _alpha_passthrough(scene, rec, rng_state)
         occluded = occluded | ((rec.tri >= 0) & ~passthrough)
@@ -141,10 +150,16 @@ class PathVertex(NamedTuple):
 
 
 def nee_contribution(cfg: RenderConfig, scene: SceneData, params: RenderParams,
-                     state: State, wo, rng_state, active=None):
+                     state: State, wo, rng_state, active=None,
+                     want_order: bool = False):
     """One next-event-estimation sample at `state` with shadow ray + MIS
-    (ref pathtrace.glsl:185-220).  Returns (rng, contribution (..., 3)).
+    (ref pathtrace.glsl:185-220).  Returns (rng, contribution (..., 3)) or,
+    with want_order, (rng, contribution, ray order) — the wavefront order
+    of the shadow rays, reusable by the NEXT bounce trace from the same
+    surface (saves a ~42 ms 2M-ray sort per wave, docs/PERF_NOTES.md).
     `active` masks lanes whose shadow rays need not be traced at all."""
+    from ..ops.packets import make_ray_order
+
     rng_state, ls = sample_direct_light(cfg, scene, params, state.pos, rng_state)
 
     t, b = make_frame(state.nrm)
@@ -161,9 +176,11 @@ def nee_contribution(cfg: RenderConfig, scene: SceneData, params: RenderParams,
     # shadow rays are incoherent (per-pixel light samples): sorted wavefront.
     # Dead lanes get t_max < t_min so their packets retire in one step.
     shadow_tmax = jnp.where(contrib_ok, ls.dist * 0.999, -1.0)
+    order = make_ray_order(scene.bvh, origin, ls.wi, dead=~contrib_ok)
     rng_state, occluded = trace_occlusion(
         cfg, scene, origin, ls.wi,
         jnp.full(state.valid.shape, _TMIN), shadow_tmax, rng_state,
+        order=order,
     )
 
     if cfg.use_mis:
@@ -180,6 +197,8 @@ def nee_contribution(cfg: RenderConfig, scene: SceneData, params: RenderParams,
     contrib = jnp.where(
         (contrib_ok & ~occluded)[..., None], contrib, 0.0
     )
+    if want_order:
+        return rng_state, contrib, order
     return rng_state, contrib
 
 
@@ -232,6 +251,7 @@ def trace_radiance(
     state = start_state
     wo = start_wo
     cur_o, cur_d = o, d
+    pending_order = None  # wavefront order reused from the last NEE wave
 
     for depth in range(depth_total + 1):
         if depth == 0 and state is not None:
@@ -247,12 +267,14 @@ def trace_radiance(
                 )
             else:
                 # bounce rays: sorted wavefront; terminated lanes cluster
-                # into dead packets (t_max < t_min) and retire in one step
+                # into dead packets (t_max < t_min) and retire in one step.
+                # The NEE shadow wave from the same surface already sorted
+                # these origins — reuse its order, skip a full sort.
                 rng_state, rec = trace_closest(
                     cfg, scene, cur_o, cur_d,
                     jnp.full(shape, _TMIN),
                     jnp.where(alive, _TMAX, -1.0),
-                    rng_state,
+                    rng_state, order=pending_order,
                 )
             tri = rec.tri
             rec_t = rec.t
@@ -317,8 +339,9 @@ def trace_radiance(
 
         # NEE at this vertex (ref indirect_stage.comp:143-153)
         if cfg.use_nee and depth >= nee_start_depth:
-            rng_state, contrib = nee_contribution(
-                cfg, scene, params, state, wo, rng_state, active=alive
+            rng_state, contrib, pending_order = nee_contribution(
+                cfg, scene, params, state, wo, rng_state, active=alive,
+                want_order=True,
             )
             radiance = radiance + jnp.where(
                 alive[..., None], throughput * contrib, 0.0

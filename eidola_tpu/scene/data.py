@@ -99,12 +99,18 @@ class SunSkyParams(NamedTuple):
     """Procedural sun & sky configuration (ref SunAndSky, host_device.h:353-376;
     defaults sample_example.hpp:186-203)."""
     sun_direction: jnp.ndarray   # (3,) f32 unit, toward the sun
-    sun_intensity: jnp.ndarray   # () f32
-    sun_angular_radius: jnp.ndarray  # () f32 radians
-    turbidity: jnp.ndarray       # () f32
+    sun_intensity: jnp.ndarray   # () f32 (the multiplier knob)
+    sun_angular_radius: jnp.ndarray  # () f32 radians (disk core = NEE cone)
+    turbidity: jnp.ndarray       # () f32 (= 2 + the reference's haze knob)
     ground_color: jnp.ndarray    # (3,) f32
-    sky_tint: jnp.ndarray        # (3,) f32 multiplier
+    sky_tint: jnp.ndarray        # (3,) f32 multiplier (rgb_unit_conversion)
     enabled: jnp.ndarray         # () i32
+    saturation: jnp.ndarray      # () f32 colour tweak (ref :292-355)
+    redblueshift: jnp.ndarray    # () f32 in [-1, 1] (warm/cool shift)
+    night_color: jnp.ndarray     # (3,) f32 floor when the sun sets
+    sun_glow_intensity: jnp.ndarray  # () f32 glow around the disk
+    ground_irradiance: jnp.ndarray  # (3,) f32 derived: hemisphere sky
+                                    # irradiance (finalize_sunsky)
 
 
 class SceneData(NamedTuple):
@@ -141,6 +147,11 @@ def default_sunsky() -> SunSkyParams:
         ground_color=np.asarray([0.4, 0.35, 0.3], np.float32),
         sky_tint=np.asarray([1.0, 1.0, 1.0], np.float32),
         enabled=np.int32(1),
+        saturation=np.float32(1.0),
+        redblueshift=np.float32(0.0),
+        night_color=np.asarray([0.0, 0.0, 0.01], np.float32),
+        sun_glow_intensity=np.float32(1.0),
+        ground_irradiance=np.zeros(3, np.float32),  # set by finalize_sunsky
     )
 
 
@@ -289,8 +300,10 @@ def make_tex_stack(textures: list | None) -> TexStack:
             )
         else:
             entries.append((np.asarray(t, np.float32), WRAP_REPEAT, WRAP_REPEAT))
-    th = max(t[0].shape[0] for t in entries)
-    tw = max(t[0].shape[1] for t in entries)
+    # real textures pad to >= 2x2 so the 1x1 stack shape uniquely means
+    # "no textures" (sample_texture skips all gathers statically on it)
+    th = max(2, max(t[0].shape[0] for t in entries))
+    tw = max(2, max(t[0].shape[1] for t in entries))
     nt = len(entries)
     data = np.zeros((nt, th, 2 * tw, 4), np.float32)
     size = np.zeros((nt, 2), np.int32)
@@ -407,6 +420,11 @@ def upload_scene(
     # device_put per dtype (SURVEY §5.8; replaces the reference's 4-queue
     # async upload, main.cpp:151-162).
     from ..utils.transfer import batched_device_put
+    from .sunsky import finalize_sunsky  # (local import: avoids cycle)
+
+    sunsky = finalize_sunsky(
+        sunsky if sunsky is not None else default_sunsky()
+    )
 
     scene = SceneData(
         bvh=build_bvh(v0, v1, v2, as_numpy=True),
@@ -424,7 +442,7 @@ def upload_scene(
         textures=make_tex_stack(textures),
         lights=lights,
         env=env,
-        sunsky=sunsky if sunsky is not None else default_sunsky(),
+        sunsky=sunsky,
     )
     return batched_device_put(scene)
 

@@ -1,15 +1,22 @@
-"""Procedural Preetham-style analytic sun & sky
+"""Procedural sun & sky — full reference model
 (ref shaders/sun_and_sky.glsl:141-601; defaults sample_example.hpp:186-203).
 
-Implements the published Preetham/Perez daylight model directly from the
-paper's polynomials (public constants), plus a physically-scaled sun disk
-and a ground/horizon blend, vectorized jnp over direction arrays.
+Structure mirrors the reference's `sun_and_sky()` composition:
+  Perez/Preetham sky dome (calc_env_color)            [:253-267]
+  atmospheric sun transmittance colour (calc_sun_color) [:141-165]
+  physically-shaped sun disk + glow                    [:522-545]
+  ground plane lit by hemisphere irradiance (calc_irrad) [:270-290, 548-579]
+  night brightness rolloff + night colour floor        [:440-450, 583-597]
+  saturation / red-blue-shift colour tweaks            [:292-355, 581]
+All vectorized jnp over direction arrays; the Preetham polynomials are the
+published constants.
 """
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-from ..ops.math import dot3, normalize
+from ..ops.math import dot3, luminance, normalize
 from .data import SunSkyParams
 
 # sRGB D65 XYZ->RGB
@@ -21,6 +28,7 @@ _XYZ2RGB = jnp.asarray(
     ],
     jnp.float32,
 )
+_RADIANCE_SCALE = 0.035  # kcd/m^2 -> scene radiance units (matches r1 tuning)
 
 
 def _perez(theta_cos, gamma, gamma_cos, A, B, C, D, E):
@@ -45,20 +53,42 @@ def _zenith_chromaticity(T, ts):
     return xz, yz
 
 
-def sky_radiance(p: SunSkyParams, d):
-    """Sky dome radiance for unit directions d (..., 3), linear RGB.
+def calc_sun_color(sun_elev, turbidity):
+    """Atmospheric transmittance colour of direct sunlight — aerosol +
+    ozone + Rayleigh attenuation vs optical air mass
+    (ref sun_and_sky.glsl:141-165 calc_sun_color), normalized so a
+    zenith sun is ~white."""
+    z = jnp.maximum(sun_elev, 1e-4)
+    wavelength = jnp.asarray([0.610, 0.550, 0.470], jnp.float32)
+    ko = jnp.asarray([12.0, 8.5, 0.9], jnp.float32)
+    sol = jnp.asarray([1.0, 0.992, 0.911], jnp.float32)
+    ang_deg = jnp.degrees(jnp.arccos(jnp.clip(z, 0.0, 1.0)))
+    m = 1.0 / (z + 0.15 * jnp.power(jnp.maximum(93.885 - ang_deg, 1.0), -1.253))
+    beta = 0.04608 * turbidity - 0.04586
+    ta = jnp.exp(-m * beta * jnp.power(wavelength, -1.3))
+    to = jnp.exp(-m * ko * 0.0035)
+    tr = jnp.exp(-m * 0.008735 * jnp.power(wavelength, -4.08))
+    c = ta * to * tr * sol
+    return jnp.where(sun_elev > 0.0, c, jnp.zeros_like(c))
 
-    Perez luminance/chromaticity distribution with the sun disk added and a
-    ground blend below the horizon (ref sun_and_sky.glsl:167-251, 453-601).
-    """
-    T = p.turbidity
-    sun = normalize(p.sun_direction)
-    cos_theta = jnp.clip(d[..., 1], -1.0, 1.0)        # view zenith cos
-    cos_gamma = jnp.clip(dot3(d, sun), -1.0, 1.0)     # angle to sun
+
+def _night_factor(sun_elev):
+    """Brightness rolloff as the sun sets (ref sun_and_sky.glsl:440-450
+    night_brightness_adjustment): 1 above horizon, quartic falloff to zero
+    at elevation -0.309 (sin 18 deg, astronomical twilight-ish)."""
+    lmt = 0.30901699
+    f = jnp.clip((sun_elev + lmt) / lmt, 0.0, 1.0)
+    f2 = f * f
+    return jnp.where(sun_elev >= 0.0, 1.0, f2 * f2)
+
+
+def _env_color(p: SunSkyParams, d, sun, T):
+    """Perez sky colour for directions d (ref calc_env_color)."""
+    cos_theta = jnp.clip(d[..., 1], -1.0, 1.0)
+    cos_gamma = jnp.clip(dot3(d, sun), -1.0, 1.0)
     gamma = jnp.arccos(cos_gamma)
-    theta_s = jnp.arccos(jnp.clip(sun[1], -1.0, 1.0))  # sun zenith angle
+    theta_s = jnp.arccos(jnp.clip(sun[1], -1.0, 1.0))
 
-    # Perez coefficients (Preetham table)
     AY, BY = 0.1787 * T - 1.4630, -0.3554 * T + 0.4275
     CY, DY, EY = -0.0227 * T + 5.3251, 0.1206 * T - 2.5771, -0.0670 * T + 0.3703
     Ax, Bx = -0.0193 * T - 0.2592, -0.0665 * T + 0.0008
@@ -67,8 +97,9 @@ def sky_radiance(p: SunSkyParams, d):
     Cy, Dy, Ey = -0.0079 * T + 0.2102, -0.0441 * T - 1.6537, -0.0109 * T + 0.0529
 
     chi = (4.0 / 9.0 - T / 120.0) * (jnp.pi - 2.0 * theta_s)
-    Yz = (4.0453 * T - 4.9710) * jnp.tan(chi) - 0.2155 * T + 2.4192  # kcd/m^2
-    Yz = jnp.maximum(Yz, 0.0)
+    Yz = jnp.maximum(
+        (4.0453 * T - 4.9710) * jnp.tan(chi) - 0.2155 * T + 2.4192, 0.0
+    )
     xz, yz = _zenith_chromaticity(T, theta_s)
 
     cos_ts = jnp.cos(theta_s)
@@ -81,44 +112,126 @@ def sky_radiance(p: SunSkyParams, d):
     x = xz * _perez(ct, gamma, cos_gamma, Ax, Bx, Cx, Dx, Ex) / denomx
     y = yz * _perez(ct, gamma, cos_gamma, Ay, By, Cy, Dy, Ey) / denomy
 
-    # xyY -> XYZ -> RGB; scale kcd/m^2 into scene radiance units
     y = jnp.maximum(y, 1e-4)
     X = x / y * Y
     Z = (1.0 - x - y) / y * Y
     xyz = jnp.stack([X, Y, Z], axis=-1)
-    rgb = jnp.maximum(xyz @ _XYZ2RGB.T, 0.0) * (0.035 * p.sun_intensity)
-    rgb = rgb * p.sky_tint
+    return jnp.maximum(xyz @ _XYZ2RGB.T, 0.0)
 
-    # ground blend below horizon (ref sun_and_sky.glsl ground/horizon blend)
-    horizon = jnp.clip(cos_theta / 0.05, -1.0, 1.0) * 0.5 + 0.5
-    ground = p.ground_color * (0.2 * p.sun_intensity) * jnp.maximum(sun[1], 0.05)
-    rgb = rgb * horizon[..., None] + ground * (1.0 - horizon[..., None])
 
-    # sun disk + glow (ref sun_and_sky.glsl:453-601)
-    sun_rad = sun_disk_radiance(p)
-    in_disk = cos_gamma > jnp.cos(p.sun_angular_radius)
-    glow = jnp.exp(-(gamma / (p.sun_angular_radius * 4.0)) ** 2) * 0.1
-    rgb = rgb + sun_rad * (
-        in_disk.astype(jnp.float32) + glow * (~in_disk).astype(jnp.float32)
-    )[..., None] * jnp.maximum(cos_theta + 0.1, 0.0)[..., None]
-    return rgb
+def _irradiance(p: SunSkyParams, sun, T):
+    """Cosine-hemisphere sky irradiance for the ground plane — the 25-point
+    quadrature of calc_irrad (ref sun_and_sky.glsl:270-290).  Called ONCE at
+    scene finalize (finalize_sunsky), never in the per-ray graph."""
+    us = (np.arange(5) + 0.5) / 5.0
+    dirs = []
+    for u in us:
+        for v in us:
+            st = np.sqrt(u)
+            phi = 2.0 * np.pi * v
+            # cosine-weighted upper-hemisphere direction (y up)
+            dirs.append([
+                st * np.cos(phi), np.sqrt(max(1.0 - u, 0.0)), st * np.sin(phi)
+            ])
+    dd = jnp.asarray(np.asarray(dirs, np.float32))
+    return jnp.mean(_env_color(p, dd, sun, T), axis=0)
+
+
+def finalize_sunsky(p: SunSkyParams) -> SunSkyParams:
+    """Precompute the param-only derived quantities (ground irradiance) so
+    the per-ray sky evaluation stays small in the traced graph.  Called by
+    upload_scene; call again after _replace-ing sky fields."""
+    T = jnp.maximum(jnp.asarray(p.turbidity, jnp.float32), 2.0)
+    sun = normalize(jnp.asarray(p.sun_direction, jnp.float32))
+    sun_c = normalize(
+        jnp.stack([sun[0], jnp.maximum(sun[1], 0.001), sun[2]])
+    )
+    irr = np.asarray(_irradiance(p, sun_c, T), np.float32)
+    return p._replace(ground_irradiance=irr)
+
+
+def _colortweak(rgb, saturation, redness):
+    """Saturation + red/blue shift (ref sun_and_sky.glsl:327-355
+    arch_colortweak)."""
+    inten = luminance(rgb)[..., None]
+    sat = jnp.maximum(saturation, 0.0)
+    out = rgb * sat + inten * (1.0 - sat)
+    out = jnp.maximum(out, 0.0)
+    # redness > 0 warms, < 0 cools (ref redblueshift in [-1, 1])
+    shift = jnp.stack(
+        [1.0 + redness, jnp.ones_like(redness), 1.0 - redness]
+    )
+    return out * shift
+
+
+def sky_radiance(p: SunSkyParams, d):
+    """Sky dome radiance for unit directions d (..., 3), linear RGB —
+    the full sun_and_sky composition (ref sun_and_sky.glsl:453-601)."""
+    T = jnp.maximum(p.turbidity, 2.0)
+    sun = normalize(p.sun_direction)
+    night = _night_factor(sun[1])
+    # clamp both to just above the horizon for the sky model itself
+    sun_c = normalize(
+        jnp.stack([sun[0], jnp.maximum(sun[1], 0.001), sun[2]])
+    )
+    cos_gamma = jnp.clip(dot3(d, sun), -1.0, 1.0)
+    gamma = jnp.arccos(cos_gamma)
+    downness = d[..., 1]
+    d_c = jnp.stack(
+        [d[..., 0], jnp.maximum(d[..., 1], 0.001), d[..., 2]], axis=-1
+    )
+    d_c = normalize(d_c)
+
+    tint = _env_color(p, d_c, sun_c, T) * night
+
+    # sun disk + glow with the transmittance colour (ref :522-545).  The
+    # bright core is EXACTLY the sample_sun cone (p.sun_angular_radius) so
+    # NEE and BSDF-sampled estimators see the same disk energy; the core
+    # radiance is set so the disk's irradiance on a sun-facing surface is
+    # ~25 x sun_intensity (physically-scaled-sun analog) regardless of the
+    # cone size.  The faint glow outside carries ~0.1% of the energy.
+    sun_color = calc_sun_color(sun[1], T)
+    solid_angle = 2.0 * jnp.pi * (1.0 - jnp.cos(p.sun_angular_radius))
+    core_w = 25.0 / jnp.maximum(solid_angle * _RADIANCE_SCALE, 1e-12)
+    glow_radius = p.sun_angular_radius * 50.0
+    in_core = (gamma < p.sun_angular_radius).astype(jnp.float32)
+    glow = (
+        jnp.clip(1.0 - gamma / glow_radius, 0.0, 1.0) ** 3
+        * 50.0 * p.sun_glow_intensity
+    )
+    disk_w = in_core * core_w + glow * (1.0 - in_core)
+    tint = tint + sun_color * (disk_w * night)[..., None]
+
+    # ground plane lit by sky irradiance + direct sun (ref :548-579);
+    # irradiance precomputed at finalize_sunsky (param-only)
+    irrad = p.ground_irradiance
+    downcolor = p.ground_color * (
+        irrad + sun_color * jnp.maximum(sun[1], 0.0)
+    ) * night
+    hor_blur = 0.05
+    dness = jnp.clip(-downness / hor_blur, 0.0, 1.0)
+    dness = dness * dness * (3.0 - 2.0 * dness)
+    rgb = tint * (1.0 - dness[..., None]) + downcolor * dness[..., None]
+    night_w = 1.0 - dness
+
+    rgb = _colortweak(rgb, p.saturation, p.redblueshift)
+    rgb = rgb * (_RADIANCE_SCALE * p.sun_intensity) * p.sky_tint
+    # night colour floor applies to the FINAL radiance (the reference's
+    # night_color is not run through rgb_scale, ref :583-597)
+    return jnp.maximum(rgb, p.night_color * night_w[..., None])
 
 
 def sun_disk_radiance(p: SunSkyParams):
-    """Radiance of the solar disk, scaled so the disk's total irradiance on a
-    sun-facing surface ~= sun_intensity * sun colour."""
+    """Radiance of the solar disk core (what sample_sun's cone sees):
+    transmittance-coloured; disk irradiance on a sun-facing surface is
+    ~25 x sun_intensity (matches the core term of sky_radiance exactly)."""
+    sun = normalize(p.sun_direction)
+    night = _night_factor(sun[1])
+    sun_color = calc_sun_color(sun[1], jnp.maximum(p.turbidity, 2.0))
     solid_angle = 2.0 * jnp.pi * (1.0 - jnp.cos(p.sun_angular_radius))
-    # turbidity-dependent reddening near the horizon (cheap stand-in for the
-    # reference's sun-color-vs-turbidity table, sun_and_sky.glsl:141-165)
-    elev = jnp.clip(normalize(p.sun_direction)[1], 0.0, 1.0)
-    tint = jnp.stack(
-        [
-            jnp.asarray(1.0, jnp.float32),
-            0.6 + 0.4 * elev,
-            0.35 + 0.65 * elev,
-        ]
-    )
-    return p.sun_intensity * 25.0 / jnp.maximum(solid_angle, 1e-6) * tint
+    rad = sun_color * (25.0 / jnp.maximum(solid_angle, 1e-12)) * night
+    rad = _colortweak(rad, p.saturation, p.redblueshift)
+    return rad * p.sun_intensity * p.sky_tint
 
 
 def sample_sun(p: SunSkyParams, u1, u2):

@@ -73,6 +73,13 @@ def sample_texture(stack: TexStack, tex_id, uv, lod=None, footprint=None):
     gltf_material.glsl); footprint: (...,) f32 uv-space sample diameter —
     converted to a per-texture lod (log2 of texel coverage).
     """
+    # untextured scene: the stack is the 1x1 white dummy (real textures are
+    # padded to >= 2x2 in make_tex_stack) — skip every gather STATICALLY.
+    # Measured 227 ms/frame of pointless dummy-texel gathers at 1080p
+    # otherwise (docs/PERF_NOTES.md).
+    if stack.data.shape[0] == 1 and stack.data.shape[1] == 1:
+        return jnp.ones(tex_id.shape + (4,), jnp.float32)
+
     tid = jnp.maximum(tex_id, 0)
     if footprint is not None:
         hw = stack.size[tid]

@@ -56,5 +56,48 @@ def main():
         print(f"{name:26s} {ms:9.2f} ms")
 
 
+def attribution():
+    """A/B the round-2 feature costs: texture mips, sky weight."""
+    import jax.numpy as jnp
+    from eidola_tpu.models.scenes import stress_grid
+    from eidola_tpu.render.config import RenderConfig
+    from eidola_tpu.render.pathtrace import env_radiance
+    from eidola_tpu.render.config import default_params
+
+    scene, cam = stress_grid(16)
+    W, H = 1920, 1080
+    base = dict(width=W, height=H, max_depth=4, env_mode="sunsky",
+                indirect_enabled=False, denoise=False)
+    for name, kw in [
+        ("di_mips_on", {}),
+        ("di_mips_off", {"texture_mips": False}),
+        ("di_restir_none", {"restir_mode": 0}),
+    ]:
+        ms = time_cfg(scene, cam, RenderConfig(**base, **kw))
+        print(f"{name:18s} {ms:9.2f} ms")
+
+    # sky eval alone at 2M directions
+    import numpy as np
+    rng = np.random.default_rng(0)
+    d = rng.standard_normal((W * H, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    dj = jnp.asarray(d)
+    cfg = RenderConfig(**base)
+    params = default_params()
+    f = jax.jit(lambda dd: env_radiance(cfg, scene, params, dd).sum())
+    import time as _t
+    for _ in range(2):
+        out = f(dj)
+    jax.block_until_ready(out)
+    t0 = _t.perf_counter()
+    for _ in range(5):
+        out = f(dj)
+    jax.block_until_ready(out)
+    print(f"sky eval 2M dirs   {( _t.perf_counter()-t0)/5*1e3:9.2f} ms")
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("EIDOLA_ATTR"):
+        attribution()
+    else:
+        main()
