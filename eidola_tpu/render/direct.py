@@ -16,6 +16,7 @@ filters pure illumination; compose re-modulates (ref K1:178-179, compose.comp).
 """
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax.numpy as jnp
@@ -202,15 +203,30 @@ def direct_stage(
         jnp.where(dot3(state.geo_nrm, sel["wi"])[..., None] >= 0,
                   state.geo_nrm, -state.geo_nrm),
     )
-    # winner shadow rays point at per-pixel light picks: sorted wavefront;
-    # lanes with nothing to test (miss / zero weight) retire immediately
+    # winner shadow rays point at per-pixel light picks; their ORIGINS are
+    # raster-coherent, and measured on v5 lite the raw image-tile packets
+    # beat the sorted wavefront (383 vs 500 ms DI stage at 1080p — the
+    # sort+permute overhead exceeds its coherence gain here,
+    # docs/PERF_NOTES.md).  Alpha-tested scenes keep the sorted
+    # trace_occlusion (it carries the stochastic HitTest re-trace).
     need = state.valid & (r["weight"] > 0.0)
-    rng_state, occluded = trace_occlusion(
-        cfg, scene, origin, sel["wi"],
-        jnp.full((h, w), _TMIN),
-        jnp.where(need, sel["dist"] * 0.999, -1.0),
-        rng_state,
+    shadow_tmax = jnp.where(need, sel["dist"] * 0.999, -1.0)
+    use_tiled = (
+        not cfg.alpha_geometry
+        and os.environ.get("EIDOLA_DI_SHADOW", "tiled") == "tiled"
     )
+    if use_tiled:
+        from ..ops.packets import any_hit_img
+
+        occluded = any_hit_img(
+            scene.bvh, origin, sel["wi"], jnp.full((h, w), _TMIN),
+            shadow_tmax, max_steps=cfg.traversal_max_steps,
+        )
+    else:
+        rng_state, occluded = trace_occlusion(
+            cfg, scene, origin, sel["wi"],
+            jnp.full((h, w), _TMIN), shadow_tmax, rng_state,
+        )
     r["weight"] = jnp.where(occluded | ~state.valid, 0.0, r["weight"])
 
     # --- temporal reuse ------------------------------------- K1:47-84,209-217
