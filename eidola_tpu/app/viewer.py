@@ -190,6 +190,7 @@ def make_handler(vs: ViewerState):
                 else:
                     self._send(503, b"rendering first frame")
             elif path == "/stats":
+                # scene statistics panel analog (ref sample_gui.cpp:350-383)
                 with vs.lock:
                     body = json.dumps({
                         "scene": vs.scene_name,
@@ -197,6 +198,14 @@ def make_handler(vs: ViewerState):
                         "height": vs.cfg.height,
                         "frame": vs.frame,
                         "fps": vs.fps,
+                        "triangles": int(vs.scene.bvh.n_tris),
+                        "bvh_nodes": int(vs.scene.bvh.walk.shape[0]),
+                        "materials": int(
+                            vs.scene.materials.base_color.shape[0]
+                        ),
+                        "textures": int(vs.scene.textures.data.shape[0]),
+                        "punctual_lights": int(vs.scene.lights.num_punc),
+                        "emissive_triangles": int(vs.scene.lights.num_trig),
                     }).encode()
                 self._send(200, body, "application/json")
             else:

@@ -153,3 +153,40 @@ class TestBVH:
         p_tri = a[tri] * (1 - u - v) + b[tri] * u + c[tri] * v
         p_ray = np.asarray(o)[m] + np.asarray(d)[m] * np.asarray(rec.t)[m][:, None]
         np.testing.assert_allclose(p_tri, p_ray, atol=1e-3)
+
+
+class TestOrderReuse:
+    def test_reused_order_gives_identical_hits(self):
+        """make_ray_order + order reuse must not change results — only the
+        internal packet grouping (ops/packets.py order parameter)."""
+        import numpy as np
+        from eidola_tpu.models.scenes import cornell_box
+        from eidola_tpu.ops.packets import (
+            closest_hit_sorted, make_ray_order,
+        )
+
+        scene, _ = cornell_box()
+        rng = np.random.default_rng(5)
+        n = 512
+        o = jnp.asarray(
+            np.asarray([0, 1, 0], np.float32)
+            + rng.standard_normal((n, 3)).astype(np.float32) * 0.4
+        )
+        d = rng.standard_normal((n, 3)).astype(np.float32)
+        d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+        tmin = jnp.full(n, 1e-4)
+        tmax = jnp.full(n, 1e8)
+        a = closest_hit_sorted(scene.bvh, o, d, tmin, tmax, max_steps=4096)
+        # an order built from DIFFERENT directions (same origins) — the
+        # reuse scenario of NEE-shadow -> next-bounce
+        d2 = rng.standard_normal((n, 3)).astype(np.float32)
+        d2 = jnp.asarray(d2 / np.linalg.norm(d2, axis=-1, keepdims=True))
+        order = make_ray_order(scene.bvh, o, d2, jnp.zeros(n, bool))
+        b = closest_hit_sorted(
+            scene.bvh, o, d, tmin, tmax, max_steps=4096, order=order
+        )
+        np.testing.assert_array_equal(np.asarray(a.tri), np.asarray(b.tri))
+        np.testing.assert_allclose(
+            np.asarray(a.t)[np.asarray(a.tri) >= 0],
+            np.asarray(b.t)[np.asarray(b.tri) >= 0], rtol=1e-6,
+        )
