@@ -1,22 +1,38 @@
-"""Interactive viewer: live camera + toggles over HTTP.
+"""Interactive viewer: live camera, pipeline toggles, scene hot-swap.
 
 The TPU-native analog of the reference's interactive surface (GLFW window
 + ImGui panels + camera manipulator, ref src/main.cpp:200-264 per-frame
-input poll, src/sample_gui.cpp:119-206 live RtxState toggles): a render
-thread steps the jitted frame function continuously while a tiny stdlib
-HTTP server streams the latest frame and feeds mouse/keyboard input back
-into the CameraManipulator and the dynamic RenderParams/TonemapParams
-(push-constant analog — updates never recompile).
+input poll, src/sample_gui.cpp:119-206 live RtxState toggles,
+src/sample_example.cpp:114-158 file-drop loader thread + m_busy gate): a
+render thread steps the jitted frame function continuously while a tiny
+stdlib HTTP server streams the latest frame and feeds input back.
+
+Three tiers of mutability (SURVEY §5.6):
+- dynamic RenderParams/TonemapParams fields: POST /param — traced scalars,
+  never recompile (push-constant analog).
+- static RenderConfig fields (ReSTIR mode, denoise, max depth, debug
+  channel, ...): POST /config — the worker thread compiles the new step
+  variant while rendering continues on the old one (`make_step` is
+  memoized, so revisiting a config is instant); `busy` is the reference's
+  m_busy analog.  This replaces the reference's pipeline rebuild on
+  #define-class changes.
+- scene / HDR environment: POST /scene — loaded + compiled on the worker
+  thread, swapped atomically (ref sample_example.cpp:114-158 onFileDrop).
+
+Interactive descaling: while the mouse drags, frames render at
+extent/descale and upscale for display; releasing restores full extent
+(ref sample_example.cpp:396-399).
 
     python -m eidola_tpu.app.viewer --scene cornell --size 256 --port 8812
 
-Endpoints: GET / (canvas UI), GET /frame.png (latest frame),
-GET /stats (fps, camera, params), POST /input (orbit/pan/dolly/reset),
-POST /param (dynamic RenderParams/TonemapParams fields).
+Endpoints: GET / (canvas UI), GET /frame.png, GET /stats,
+POST /input (orbit/pan/dolly/reset/end), POST /param, POST /config,
+POST /scene.
 """
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import io
 import json
 import threading
@@ -32,20 +48,60 @@ honor_platform_env()
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
+# RenderConfig fields the GUI may flip live (ref sample_gui.cpp:119-206)
+_CONFIG_FIELDS = {
+    "max_depth": int,
+    "restir_mode": int,
+    "denoise": bool,
+    "denoise_direct_levels": int,
+    "denoise_indirect_levels": int,
+    "indirect_enabled": bool,
+    "debug_mode": int,
+    "accumulate": bool,
+    "spatial_rounds": int,
+    "tonemap_kind": int,
+}
+
 _PAGE = """<!doctype html>
 <html><head><title>eidola_tpu viewer</title><style>
 body { background:#111; color:#ddd; font-family:monospace; margin:16px }
 #frame { image-rendering:pixelated; border:1px solid #444; cursor:grab }
-#bar { margin:8px 0 } button,input { background:#222; color:#ddd;
+#bar { margin:8px 0 } button,input,select { background:#222; color:#ddd;
 border:1px solid #555; margin-right:6px }
+#busy { color:#fa0 }
 </style></head><body>
 <div id="bar">
- <b>eidola_tpu</b> <span id="stats"></span><br>
+ <b>eidola_tpu</b> <span id="stats"></span> <span id="busy"></span><br>
  drag = orbit &middot; shift-drag = pan &middot; wheel = dolly &middot;
  <button onclick="post('/input',{type:'reset'})">reset accum</button>
  exposure <input id="expo" type="range" min="-3" max="3" step="0.1"
   value="0" oninput="post('/param',{name:'exposure',
   value:Math.pow(2,this.value)})">
+ <br>
+ <label><input type="checkbox" id="denoise" checked
+  onchange="post('/config',{denoise:this.checked})">denoise</label>
+ restir <select id="restir"
+  onchange="post('/config',{restir_mode:+this.value})">
+  <option value="0">off</option><option value="1">RIS</option>
+  <option value="2">spatial</option>
+  <option value="3" selected>temporal</option>
+  <option value="4">spatiotemporal</option></select>
+ debug <select id="debug" onchange="post('/config',{debug_mode:+this.value})">
+  <option value="0" selected>none</option><option value="1">direct</option>
+  <option value="2">indirect</option><option value="3">baseColor</option>
+  <option value="4">normal</option><option value="5">depth</option>
+  <option value="6">metallic</option><option value="7">emissive</option>
+  <option value="8">roughness</option><option value="9">texcoord</option>
+ </select>
+ depth <input id="depth" type="number" min="1" max="8" value="3"
+  style="width:3em" onchange="post('/config',{max_depth:+this.value})">
+ <br>
+ scene <input id="scene" size="28" placeholder="name or /path/to.glb">
+ <button onclick="post('/scene',{scene:
+  document.getElementById('scene').value})">load</button>
+ hdr <input id="hdr" size="20" placeholder="/path/to.hdr">
+ <button onclick="post('/scene',{hdr:
+  document.getElementById('hdr').value})">set env</button>
 </div>
 <img id="frame" draggable="false">
 <script>
@@ -59,11 +115,15 @@ setInterval(async () => {
   document.getElementById('stats').textContent =
     ` ${s.scene} ${s.width}x${s.height} frame ${s.frame} ` +
     `${s.fps.toFixed(1)} fps`;
+  document.getElementById('busy').textContent = s.busy ? '[' + s.busy + ']' : '';
 }, 1000);
 function post(u, body){ fetch(u, {method:'POST', body:JSON.stringify(body)}); }
 let drag = null;
 img.onmousedown = e => { drag = [e.clientX, e.clientY, e.shiftKey]; };
-window.onmouseup = () => { drag = null; };
+window.onmouseup = () => {
+  if (drag) post('/input', {type:'end'});
+  drag = null;
+};
 window.onmousemove = e => {
   if (!drag) return;
   const dx = e.clientX - drag[0], dy = e.clientY - drag[1];
@@ -76,16 +136,30 @@ img.onwheel = e => { e.preventDefault();
 </script></body></html>"""
 
 
-class ViewerState:
-    """Shared state between the render thread and the HTTP handlers."""
+def _descaled(cfg, d: int):
+    """Config at extent/d (multiples of the 8x16 packet tile so the ray
+    packets stay dense), ref sample_example.cpp:396-399."""
+    if d <= 1:
+        return cfg
+    w = max((cfg.width // d) // 16 * 16, 16)
+    h = max((cfg.height // d) // 16 * 16, 16)
+    return dataclasses.replace(cfg, width=w, height=h)
 
-    def __init__(self, scene, cam, cfg, params, tm, manip):
+
+class ViewerState:
+    """Shared state between the render thread, the worker thread (config
+    compiles + scene loads) and the HTTP handlers."""
+
+    def __init__(self, scene, cam, cfg, params, tm, manip, descale: int = 1):
         self.scene = scene
-        self.cfg = cfg
+        self.base_cfg = cfg          # user-selected config
         self.params = params
         self.tm = tm
         self.manip = manip
         self.cam = cam
+        self.descale = descale       # interaction descale factor (1 = off)
+        self.interacting = False
+        self.last_input_t = 0.0
         self.lock = threading.Lock()
         self.png: bytes = b""
         self.frame = 0
@@ -93,7 +167,22 @@ class ViewerState:
         self.reset_requested = False
         self.stop = False
         self.scene_name = ""
+        # worker plumbing
+        self.busy: str = ""          # m_busy analog ("" = idle)
+        self.ready_cfgs: set = set()  # configs whose step compiled already
+        self.pending_scene: dict | None = None
+        self._worker: threading.Thread | None = None
 
+    # -- desired active config ---------------------------------------------
+    def desired_cfg(self):
+        with self.lock:
+            base = self.base_cfg
+            inter = self.interacting
+            if inter and time.time() - self.last_input_t > 0.5:
+                self.interacting = inter = False  # missed mouse-up safety
+        return _descaled(base, self.descale) if inter else base
+
+    # -- HTTP-facing mutations ----------------------------------------------
     def apply_input(self, msg: dict):
         with self.lock:
             t = msg.get("type")
@@ -111,6 +200,11 @@ class ViewerState:
                 self.cam = self.manip.dolly(float(msg.get("f", 1.0)))
             elif t == "reset":
                 self.reset_requested = True
+            if t in ("orbit", "pan", "dolly") and self.descale > 1:
+                self.interacting = True
+                self.last_input_t = time.time()
+            elif t == "end":
+                self.interacting = False
 
     def apply_param(self, msg: dict):
         """Dynamic (no-recompile) parameter update — the push-constant
@@ -127,36 +221,171 @@ class ViewerState:
                     **{name: jnp.asarray(value, jnp.float32)}
                 )
 
+    def apply_config(self, msg: dict) -> bool:
+        """Static-config change: swap base_cfg; the render/worker threads
+        compile the new variant lazily (reference pipeline rebuild analog,
+        sample_gui.cpp:119-206 -> renderer rebuild)."""
+        fields = {}
+        for k, v in msg.items():
+            if k in _CONFIG_FIELDS:
+                fields[k] = _CONFIG_FIELDS[k](v)
+        if not fields:
+            return False
+        with self.lock:
+            self.base_cfg = dataclasses.replace(self.base_cfg, **fields)
+            self.reset_requested = True
+        return True
 
-def _encode_png(img01: np.ndarray) -> bytes:
+    def apply_scene(self, msg: dict) -> bool:
+        """Queue a scene (.glb/.gltf or registry name) or HDR environment
+        swap for the worker thread (ref sample_example.cpp:114-158)."""
+        if not (msg.get("scene") or msg.get("hdr")):
+            return False
+        with self.lock:
+            self.pending_scene = dict(msg)
+        return True
+
+
+def _load_scene_request(vs: ViewerState, req: dict):
+    """Worker-side scene/HDR load + swap (detached loader thread analog)."""
+    from ..models.scenes import load_scene
+    from ..scene.data import attach_env
+    from ..scene.gltf import load_gltf_scene
+    from ..scene.hdr import build_env_map, load_hdr
+    from .headless import _pivot_from_cam
+
+    name = req.get("scene")
+    hdr = req.get("hdr")
+    env = build_env_map(load_hdr(hdr)) if hdr else None
+    if name:
+        if name.endswith((".glb", ".gltf")):
+            scene, cam = load_gltf_scene(name)
+        else:
+            scene, cam = load_scene(name)
+        if env is not None:
+            scene = attach_env(scene, env)
+        with vs.lock:
+            vs.scene = scene
+            vs.cam = cam
+            vs.manip.eye = np.asarray(cam.pos, np.float64)
+            vs.manip.center = np.asarray(_pivot_from_cam(cam), np.float64)
+            vs.manip._cam = cam._replace()
+            vs.scene_name = name
+            vs.base_cfg = dataclasses.replace(
+                vs.base_cfg,
+                env_mode="hdr" if scene.env is not None else "sunsky",
+            )
+            vs.reset_requested = True
+            vs.ready_cfgs.clear()   # new shapes: steps must recompile
+    elif env is not None:
+        with vs.lock:
+            scene = vs.scene
+        scene = attach_env(scene, env)
+        with vs.lock:
+            vs.scene = scene
+            vs.base_cfg = dataclasses.replace(vs.base_cfg, env_mode="hdr")
+            vs.reset_requested = True
+            vs.ready_cfgs.clear()
+
+
+def _compile_step(vs: ViewerState, cfg):
+    """Worker-side compile of a step variant: run one throwaway frame so
+    the jit cache is hot before the render thread switches to it."""
+    from ..render.frame import init_frame_state, make_step
+
+    step = make_step(cfg)
+    with vs.lock:
+        scene, cam, params, tm = vs.scene, vs.cam, vs.params, vs.tm
+    state = init_frame_state(cfg, cam)
+    out_state, out = step(scene, cam, params, tm, state)
+    jax.block_until_ready(out["image"])
+    with vs.lock:
+        vs.ready_cfgs.add(cfg)
+
+
+def _worker_tick(vs: ViewerState) -> bool:
+    """Run one pending worker job (scene load or step compile).  Returns
+    True if something was done."""
+    with vs.lock:
+        req = vs.pending_scene
+        vs.pending_scene = None
+    if req is not None:
+        vs.busy = "loading scene"
+        try:
+            _load_scene_request(vs, req)
+        except Exception as e:  # surface the error, keep rendering
+            vs.busy = f"load failed: {e}"
+            time.sleep(1.0)
+        else:
+            vs.busy = ""
+        return True
+    desired = vs.desired_cfg()
+    with vs.lock:
+        needs = desired not in vs.ready_cfgs
+    if needs:
+        vs.busy = "compiling"
+        try:
+            _compile_step(vs, desired)
+        except Exception as e:
+            vs.busy = f"compile failed: {e}"
+            time.sleep(1.0)
+        else:
+            vs.busy = ""
+        return True
+    return False
+
+
+def worker_loop(vs: ViewerState):
+    while not vs.stop:
+        if not _worker_tick(vs):
+            time.sleep(0.05)
+
+
+def _encode_png(img01: np.ndarray, upscale: int = 1) -> bytes:
     from PIL import Image
 
+    a = (np.clip(img01, 0, 1) * 255).astype(np.uint8)
+    if upscale > 1:
+        a = np.repeat(np.repeat(a, upscale, axis=0), upscale, axis=1)
     buf = io.BytesIO()
-    Image.fromarray(
-        (np.clip(img01, 0, 1) * 255).astype(np.uint8)
-    ).save(buf, format="PNG")
+    Image.fromarray(a).save(buf, format="PNG")
     return buf.getvalue()
 
 
 def render_loop(vs: ViewerState):
     """Continuous frame stepping (the while(!glfwWindowShouldClose) loop,
-    ref main.cpp:200-264)."""
+    ref main.cpp:200-264).  Uses whichever compiled variant matches the
+    desired config; keeps stepping the old one while the worker compiles."""
     from ..render.frame import init_frame_state, make_step, reset_accumulation
 
-    step = make_step(vs.cfg)
-    state = init_frame_state(vs.cfg, vs.cam)
+    active = vs.desired_cfg()
+    _compile_step(vs, active)
+    step = make_step(active)
+    with vs.lock:
+        state = init_frame_state(active, vs.cam)
+        scene_obj = vs.scene
     t_last = time.perf_counter()
     while not vs.stop:
+        desired = vs.desired_cfg()
         with vs.lock:
+            ready = desired in vs.ready_cfgs
             cam = vs.cam
             params = vs.params
             tm = vs.tm
+            scene_now = vs.scene
             if vs.reset_requested:
-                state = reset_accumulation(state)
                 vs.reset_requested = False
-        state, out = step(vs.scene, cam, params, tm, state)
+                state = reset_accumulation(state)
+        if (desired != active and ready) or (scene_now is not scene_obj
+                                             and ready):
+            active = desired
+            step = make_step(active)
+            state = init_frame_state(active, cam)
+            scene_obj = scene_now
+        state, out = step(scene_obj, cam, params, tm, state)
         img = np.asarray(out["image"])
-        png = _encode_png(img)
+        up = vs.base_cfg.width // active.width if active != vs.base_cfg else 1
+        png = _encode_png(img, max(up, 1))
         now = time.perf_counter()
         with vs.lock:
             vs.png = png
@@ -192,14 +421,18 @@ def make_handler(vs: ViewerState):
             elif path == "/stats":
                 # scene statistics panel analog (ref sample_gui.cpp:350-383)
                 with vs.lock:
+                    cfg = vs.base_cfg
                     body = json.dumps({
                         "scene": vs.scene_name,
-                        "width": vs.cfg.width,
-                        "height": vs.cfg.height,
+                        "width": cfg.width,
+                        "height": cfg.height,
                         "frame": vs.frame,
                         "fps": vs.fps,
+                        "busy": vs.busy,
+                        "config": {
+                            k: getattr(cfg, k) for k in _CONFIG_FIELDS
+                        },
                         "triangles": int(vs.scene.bvh.n_tris),
-                        "bvh_nodes": int(vs.scene.bvh.walk.shape[0]),
                         "materials": int(
                             vs.scene.materials.base_color.shape[0]
                         ),
@@ -222,6 +455,14 @@ def make_handler(vs: ViewerState):
                 vs.apply_input(msg)
             elif self.path == "/param":
                 vs.apply_param(msg)
+            elif self.path == "/config":
+                if not vs.apply_config(msg):
+                    self._send(400, b"no known config field")
+                    return
+            elif self.path == "/scene":
+                if not vs.apply_scene(msg):
+                    self._send(400, b"need scene or hdr")
+                    return
             else:
                 self._send(404, b"not found")
                 return
@@ -241,6 +482,8 @@ def serve(argv=None):
     p.add_argument("--size", type=int, nargs="+", default=[256])
     p.add_argument("--port", type=int, default=8812)
     p.add_argument("--max-depth", type=int, default=3)
+    p.add_argument("--descale", type=int, default=2,
+                   help="render-extent divisor while dragging (1 = off)")
     p.add_argument("--frames", type=int, default=0,
                    help="stop after N frames (0 = run until killed)")
     args = p.parse_args(argv)
@@ -258,11 +501,13 @@ def serve(argv=None):
     )
     manip._cam = cam._replace()
     vs = ViewerState(scene, cam, cfg, default_params(), default_tonemap(),
-                     manip)
+                     manip, descale=args.descale)
     vs.scene_name = args.scene
 
     t = threading.Thread(target=render_loop, args=(vs,), daemon=True)
     t.start()
+    tw = threading.Thread(target=worker_loop, args=(vs,), daemon=True)
+    tw.start()
 
     srv = ThreadingHTTPServer(("127.0.0.1", args.port), make_handler(vs))
     print(f"viewer: http://127.0.0.1:{args.port}/  ({args.scene} {w}x{h})")

@@ -263,8 +263,6 @@ def bistro_standin(target_mtris: float = 2.83):
         (quad_tris([-120, 0, -120], [120, 0, -120], [120, 0, 120],
                    [-120, 0, 120]), 0),
     ]
-    count = 4
-    n_lots = 24  # grid edge; tuned with per-lot content to pass `target`
     lot = 9.0
     per_building = 6 * 8 * 8 * 2            # box sub=8 -> 768 tris
     per_sphere = 2 * 14 * 20                # n_lat=14, n_lon=20 -> 560 tris
@@ -289,7 +287,6 @@ def bistro_standin(target_mtris: float = 2.83):
                     (uv_sphere([fx, fr * rng.uniform(1.0, 2.5), fz], fr,
                                n_lat=14, n_lon=20), 3)
                 )
-            count += est_per_lot
     tris, mats = _concat(parts)
     mats_list = [
         {"base_color": [0.45, 0.44, 0.42, 1], "roughness": 0.9},   # street

@@ -20,18 +20,14 @@ Design (measured-in, not a translation):
   every step is ~80% of traversal time while only ~10% of steps visit a
   leaf.  The walk therefore only records (packet, leaf) EVENTS into a
   bounded per-packet queue; when any queue fills (or the walk ends) the
-  queue is drained as a COMPACTED event list, folded per packet with a
-  segmented prefix-min scan.  Intersection work is proportional to actual
-  leaf visits, not steps.
-- HIERARCHICAL DRAIN (round 2): each leaf of `leaf_size` triangles is split
-  into sub-blocks of 8 Morton-sorted triangles, each with its own AABB.
-  Draining is two-phase: (1) per (packet, leaf) event, ONE row gather pulls
-  all sub-block AABBs and a vectorized slab pass marks which sub-blocks any
-  live ray overlaps; (2) the surviving (packet, sub-block) SUB-EVENTS are
-  compacted globally (popcount + cumsum over a dense per-packet mask
-  buffer) and intersected in chunks of 8-triangle MT tests.  MT flops drop
-  from leaf_size x 128 per event to ~avg_hit_subs x 8 x 128 — the slab
-  pre-pass costs ~1/25th of the MT it replaces.
+  queue is drained as a COMPACTED flat event list: each event gathers its
+  leaf's full triangle row and runs leaf_size MT tests across the event's
+  128 lanes, then a segmented prefix-min scan + run-end scatter folds the
+  per-event results back into each packet's per-ray best.  Intersection
+  work is proportional to actual leaf visits, not steps.  (A hierarchical
+  per-sub-block-AABB drain was built and measured SLOWER — see
+  docs/PERF_NOTES.md — the per-chunk gather/scan machinery, not MT flops,
+  dominates drain cost.)
 - Draining tightens per-ray t_best between walk rounds, so the walk prunes
   nodes beyond the closest hit found so far; resolved occlusion rays get
   t_best = -inf which retires them from the slab test entirely.
@@ -50,7 +46,6 @@ import os
 
 LEAF_SIZE_TPU = int(os.environ.get("EIDOLA_LEAF", "64"))
 LEAF_SIZE_CPU = 8   # smaller unroll keeps XLA:CPU compile/test time sane
-SUB_TRIS = 8        # triangles per sub-block (hierarchical drain unit)
 PACKET = 128
 QUEUE = int(os.environ.get("EIDOLA_QUEUE", "32"))
 CHUNK = int(os.environ.get("EIDOLA_CHUNK", "4096"))
@@ -67,14 +62,13 @@ _BIG = 1e30
 
 class BVH(NamedTuple):
     walk: jnp.ndarray         # (N, 8) f32: bmin, bmax, miss-link, leaf-id (bitcast i32)
-    leaf_blocks: jnp.ndarray  # (L*n_sub, SUB_TRIS*12) f32: (v0, e1, e2, pad) per tri
-    sub_aabb: jnp.ndarray     # (L, n_sub*8) f32: per sub-block bmin3,bmax3,pad2
+    leaf_blocks: jnp.ndarray  # (L, leaf_size*12) f32: (v0, e1, e2, pad) per tri
     prim_id: jnp.ndarray      # (L*leaf_size,) i32 original triangle id (-1 = pad)
     n_tris: jnp.ndarray       # () i32 true triangle count
 
     @property
-    def n_sub(self) -> int:
-        return self.sub_aabb.shape[1] // 8
+    def leaf_size(self) -> int:
+        return self.leaf_blocks.shape[1] // 12
 
 
 class HitRecord(NamedTuple):
@@ -148,14 +142,11 @@ def build_bvh(
 
     n_nodes = bmin.shape[0]
     n_leaves = len(leaf_tris)
-    sub_tris = min(SUB_TRIS, leaf_size)
-    n_sub = leaf_size // sub_tris
-    assert n_sub * sub_tris == leaf_size, "leaf_size must be a multiple of 8"
 
     # --- vectorized leaf packing with per-leaf Morton order --------------
-    # Sorting each leaf's triangles by centroid Morton code keeps every
-    # sub-block of `sub_tris` consecutive triangles spatially tight so its
-    # AABB prunes well in the hierarchical drain.
+    # Sorting each leaf's triangles by centroid Morton code keeps spatially
+    # close triangles in adjacent slots (cheap, and keeps the layout stable
+    # for golden tests).
     ext = tb_max.max(axis=0) - tb_min.min(axis=0)
     origin = tb_min.min(axis=0)
     c01 = (centroid - origin) / np.maximum(ext, 1e-20)
@@ -181,25 +172,6 @@ def build_bvh(
     blocks[slot, 3:6] = v1[all_tris] - v0[all_tris]
     blocks[slot, 6:9] = v2[all_tris] - v0[all_tris]
 
-    # per sub-block AABBs; empty sub-blocks get inverted boxes (never hit).
-    # sub_idx is nondecreasing (slot-sorted), so segmented reduceat beats
-    # ufunc.at by ~2 orders of magnitude at millions of triangles.
-    sub_idx = leaf_id * n_sub + pos_in_leaf // sub_tris
-    sub_min = np.full((n_leaves * n_sub, 3), _BIG, np.float32)
-    sub_max = np.full((n_leaves * n_sub, 3), -_BIG, np.float32)
-    if all_tris.size:
-        seg_starts = np.flatnonzero(np.diff(sub_idx, prepend=-1))
-        present = sub_idx[seg_starts]
-        sub_min[present] = np.minimum.reduceat(
-            tb_min[all_tris], seg_starts, axis=0
-        )
-        sub_max[present] = np.maximum.reduceat(
-            tb_max[all_tris], seg_starts, axis=0
-        )
-    sub_aabb = np.zeros((n_leaves * n_sub, 8), np.float32)
-    sub_aabb[:, 0:3] = sub_min
-    sub_aabb[:, 3:6] = sub_max
-
     walk = np.zeros((n_nodes, 8), np.float32)
     walk[:, 0:3] = bmin
     walk[:, 3:6] = bmax
@@ -209,8 +181,7 @@ def build_bvh(
     conv = (lambda x: x) if as_numpy else jnp.asarray
     return BVH(
         walk=conv(walk),
-        leaf_blocks=conv(blocks.reshape(n_leaves * n_sub, sub_tris * 12)),
-        sub_aabb=conv(sub_aabb.reshape(n_leaves, n_sub * 8)),
+        leaf_blocks=conv(blocks.reshape(n_leaves, leaf_size * 12)),
         prim_id=conv(prim_id),
         n_tris=conv(np.int32(T)) if as_numpy else jnp.asarray(T, jnp.int32),
     )
@@ -386,10 +357,8 @@ def _traverse(bvh: BVH, o, d, t_min, t_max, any_hit: bool, max_steps: int):
             (node, t_best, tri_best, u_best, v_best, queue, cnt, step),
         )
 
-    n_sub = bvh.n_sub
-    sub_tris = bvh.leaf_blocks.shape[1] // 12
-    leaf_size = n_sub * sub_tris
-    leaf_rows = bvh.leaf_blocks.reshape(-1, leaf_size * 12)
+    leaf_size = bvh.leaf_size
+    leaf_rows = bvh.leaf_blocks
     CE = CHUNK                     # sub-events per drain step
     assert CE % G == 0
     CR = CE // G                   # dense 128-lane rows per drain step

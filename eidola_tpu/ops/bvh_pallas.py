@@ -285,7 +285,7 @@ def _run(walk, leaf_rows, o, d, t_min, t_max, *, any_hit: bool,
 
 def _traverse_pallas(bvh: BVH, o, d, t_min, t_max, any_hit: bool,
                      max_steps: int):
-    leaf_size = bvh.n_sub * (bvh.leaf_blocks.shape[1] // 12)
+    leaf_size = bvh.leaf_size
     # (L, rows, cols) layout with 128-aligned lanes where possible: the DMA
     # slices the untiled leading dim per event; inner dims must respect the
     # (sublane, 128) tiling (leaf 64 -> 768 floats = 6 x 128)

@@ -39,15 +39,23 @@ TILE_W = 16
 _TRAV = os.environ.get("EIDOLA_TRAV", "xla")
 
 
+def _is_wide(bvh) -> bool:
+    return hasattr(bvh, "walk4")
+
+
 def _use_pallas(bvh: BVH) -> bool:
-    if _TRAV != "pallas" or jax.default_backend() == "cpu":
+    if _TRAV != "pallas" or jax.default_backend() == "cpu" or _is_wide(bvh):
         return False
     from .bvh_pallas import pallas_supported
 
     return pallas_supported(bvh)
 
 
-def closest_hit(bvh: BVH, o, d, t_min, t_max, max_steps: int = 100_000):
+def closest_hit(bvh, o, d, t_min, t_max, max_steps: int = 100_000):
+    if _is_wide(bvh):
+        from .bvh_wide import closest_hit_wide
+
+        return closest_hit_wide(bvh, o, d, t_min, t_max, max_steps=max_steps)
     if _use_pallas(bvh):
         from .bvh_pallas import closest_hit_pallas
 
@@ -55,7 +63,11 @@ def closest_hit(bvh: BVH, o, d, t_min, t_max, max_steps: int = 100_000):
     return _closest_hit_xla(bvh, o, d, t_min, t_max, max_steps=max_steps)
 
 
-def any_hit(bvh: BVH, o, d, t_min, t_max, max_steps: int = 100_000):
+def any_hit(bvh, o, d, t_min, t_max, max_steps: int = 100_000):
+    if _is_wide(bvh):
+        from .bvh_wide import any_hit_wide
+
+        return any_hit_wide(bvh, o, d, t_min, t_max, max_steps=max_steps)
     if _use_pallas(bvh):
         from .bvh_pallas import any_hit_pallas
 
@@ -133,11 +145,18 @@ def _expand_bits_u32(v):
 def ray_sort_keys(bvh: BVH, o, d, dead):
     """u32 sort key: dead(1) | origin 7-bit-per-axis Morton(21) | octant(3).
 
-    Origin cells come from the root AABB (bvh.walk row 0), so nearby origins
-    share top-of-tree traversal; the octant separates opposing directions
-    whose slab intervals disagree."""
-    root = bvh.walk[0]
-    bmin, bmax = root[0:3], root[3:6]
+    Origin cells come from the root AABB (bvh.walk row 0, or the union of
+    the wide root row's child boxes), so nearby origins share top-of-tree
+    traversal; the octant separates opposing directions whose slab
+    intervals disagree."""
+    if _is_wide(bvh):
+        boxes = bvh.walk4[0, 0:24].reshape(4, 6)
+        present = boxes[:, 0] <= boxes[:, 3]
+        bmin = jnp.min(jnp.where(present[:, None], boxes[:, 0:3], 1e30), 0)
+        bmax = jnp.max(jnp.where(present[:, None], boxes[:, 3:6], -1e30), 0)
+    else:
+        root = bvh.walk[0]
+        bmin, bmax = root[0:3], root[3:6]
     ext = jnp.maximum(bmax - bmin, 1e-6)
     p = jnp.clip((o - bmin) / ext, 0.0, 1.0)
     q = jnp.clip(p * 128.0, 0.0, 127.0).astype(jnp.uint32)

@@ -19,6 +19,8 @@ All of these ride ICI.  No hand-written communication layer is warranted
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -89,10 +91,13 @@ def assert_row_sharded(tree, heights, n_devices: int):
     jax.tree_util.tree_map(check, tree)
 
 
+@functools.lru_cache(maxsize=16)
 def make_sharded_step(cfg: RenderConfig, mesh: Mesh):
-    """jitted multi-chip frame step.  Inputs must be placed via shard_pytree
-    (state) / replicate (scene, camera, params); jit infers the partitioning
-    from input placement and keeps outputs row-sharded."""
+    """jitted multi-chip frame step, memoized on (cfg, mesh) so repeated
+    requests share one compile (SPMD full-pipeline compiles run minutes on
+    XLA:CPU).  Inputs must be placed via shard_pytree (state) / replicate
+    (scene, camera, params); jit infers the partitioning from input placement
+    and keeps outputs row-sharded."""
 
     @jax.jit
     def step(scene, cam, params, tm, state: FrameState):

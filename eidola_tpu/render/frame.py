@@ -15,6 +15,7 @@ inter-dispatch barriers (SURVEY §5.2) are structurally impossible here.
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -82,7 +83,12 @@ def reset_accumulation(state: FrameState) -> FrameState:
 
 
 def _camera_moved(cam: Camera, prev: Camera):
-    return jnp.any(jnp.abs(cam.view - prev.view) > 1e-6)
+    """Any camera change (view OR projection — a fov/aspect change must also
+    reset accumulation, ref sample_example.cpp:178-196 compares the full
+    camera state)."""
+    return jnp.any(jnp.abs(cam.view - prev.view) > 1e-6) | jnp.any(
+        jnp.abs(cam.proj - prev.proj) > 1e-6
+    )
 
 
 def _debug_image(cfg: RenderConfig, out_d: DirectOut, direct_hdr, indirect_hdr):
@@ -234,10 +240,17 @@ def render_frame(
     return new_state, outputs
 
 
+@functools.lru_cache(maxsize=64)
 def make_step(cfg: RenderConfig):
-    """Compile the frame function for a fixed config."""
-    return jax.jit(
-        lambda scene, cam, params, tm, state: render_frame(
-            cfg, scene, cam, params, tm, state
-        )
-    )
+    """Compiled frame function for a fixed config, MEMOIZED on the (frozen,
+    hashable) config: repeated requests for the same config share one jit
+    cache entry instead of recompiling (full-pipeline XLA:CPU compiles run
+    minutes).  This is also the live-toggle step cache the viewer uses —
+    the TPU-native analog of the reference rebuilding pipelines when a
+    compile-time switch flips (ref sample_gui.cpp:119-206)."""
+
+    @jax.jit
+    def step(scene, cam, params, tm, state):
+        return render_frame(cfg, scene, cam, params, tm, state)
+
+    return step

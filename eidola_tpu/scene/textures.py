@@ -32,8 +32,10 @@ def _bilinear_level(stack: TexStack, tid, uv, level):
     """Bilinear fetch at integer mip `level` (per-lane i32)."""
     tw_stack = stack.data.shape[2] // 2
     hw = stack.size[tid]
-    h = jnp.maximum(hw[..., 0] >> level, 1)
-    w = jnp.maximum(hw[..., 1] >> level, 1)
+    # ceil halving to match _mip_down storage (odd extents are edge-padded
+    # before each reduction, so stored level-k extent = ceil(size / 2^k))
+    h = jnp.maximum((hw[..., 0] + (1 << level) - 1) >> level, 1)
+    w = jnp.maximum((hw[..., 1] + (1 << level) - 1) >> level, 1)
     wrap = stack.wrap[tid]
     # x offset of the level within the atlas (0 for level 0)
     xoff = jnp.where(
@@ -90,11 +92,18 @@ def sample_texture(stack: TexStack, tex_id, uv, lod=None, footprint=None):
     else:
         tw_stack = stack.data.shape[2] // 2
         max_l = max(int(tw_stack).bit_length() - 1, 0)
-        lod = jnp.clip(lod, 0.0, float(max_l))
+        # each texture only stores its OWN chain down to 1x1: clamp the
+        # per-lane lod to ceil(log2(max own extent)) or small textures in a
+        # mixed-size stack would gather zero-filled atlas texels (black)
+        hw = stack.size[tid]
+        res = jnp.maximum(hw[..., 0], hw[..., 1]).astype(jnp.float32)
+        max_l_tex = jnp.ceil(jnp.log2(jnp.maximum(res, 1.0))).astype(jnp.int32)
+        max_l_tex = jnp.minimum(max_l_tex, max_l)
+        lod = jnp.clip(lod, 0.0, max_l_tex.astype(jnp.float32))
         l0 = jnp.floor(lod).astype(jnp.int32)
         fl = (lod - l0.astype(jnp.float32))[..., None]
         c0 = _bilinear_level(stack, tid, uv, l0)
-        c1 = _bilinear_level(stack, tid, uv, jnp.minimum(l0 + 1, max_l))
+        c1 = _bilinear_level(stack, tid, uv, jnp.minimum(l0 + 1, max_l_tex))
         c = c0 * (1.0 - fl) + c1 * fl
     none = (tex_id < 0)[..., None]
     return jnp.where(none, jnp.ones_like(c), c)

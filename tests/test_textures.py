@@ -72,6 +72,31 @@ class TestMips:
                            footprint=jnp.asarray([0.0]))
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
+    def test_mixed_size_stack_small_texture_not_black(self):
+        """Regression (ADVICE r2 high): a small uniform texture stacked with
+        a large one must NOT sample black past its own deepest mip level."""
+        small = np.full((4, 4, 4), 0.8, np.float32)
+        big = _grad_tex(64)
+        stack = make_tex_stack([small, big])
+        for fp in (1.0, 8.0, 100.0):
+            c = sample_texture(
+                stack, jnp.asarray([0]), jnp.asarray([[0.5, 0.5]]),
+                footprint=jnp.asarray([fp]),
+            )
+            np.testing.assert_allclose(np.asarray(c[0, :3]), 0.8, atol=1e-5)
+
+    def test_npot_mip_extents_uniform(self):
+        """Regression (ADVICE r2 low): NPOT textures must sample stored mip
+        extents (ceil halving), not shifted/cropped sub-regions — a uniform
+        NPOT texture stays uniform at every lod."""
+        t = np.full((6, 10, 4), 0.4, np.float32)
+        stack = make_tex_stack([t, _grad_tex(64)])
+        uv = jnp.asarray([[0.9, 0.9], [0.1, 0.55]])
+        tid = jnp.zeros(2, jnp.int32)
+        for lod in (1.0, 2.0, 3.0):
+            c = sample_texture(stack, tid, uv, lod=jnp.full(2, lod))
+            np.testing.assert_allclose(np.asarray(c[:, :3]), 0.4, atol=1e-5)
+
     def test_lod_monotonic_blur(self):
         """Variance of samples over a stripe texture must fall as the
         footprint grows (anti-shimmer at grazing angles)."""

@@ -66,3 +66,83 @@ class TestViewerState:
     def test_handler_class_builds(self):
         handler = make_handler(_vs())
         assert callable(handler)
+
+    def test_config_toggle_updates_base_cfg(self):
+        """Live pipeline-structure toggles (VERDICT r2 #5; ref
+        sample_gui.cpp:119-206 flips RtxState fields at runtime)."""
+        vs = _vs()
+        assert vs.apply_config({"denoise": False, "max_depth": 1,
+                                "debug_mode": 4})
+        assert vs.base_cfg.denoise is False
+        assert vs.base_cfg.max_depth == 1
+        assert vs.base_cfg.debug_mode == 4
+        assert vs.reset_requested
+        # unknown fields are rejected, config unchanged
+        before = vs.base_cfg
+        assert not vs.apply_config({"width": 8, "nope": 1})
+        assert vs.base_cfg == before
+
+    def test_scene_request_queued(self):
+        vs = _vs()
+        assert vs.apply_scene({"scene": "cornell"})
+        assert vs.pending_scene == {"scene": "cornell"}
+        assert not vs.apply_scene({})
+
+    def test_drag_descale(self):
+        """Interactive descaling: extent drops while dragging, restores on
+        end (ref sample_example.cpp:396-399)."""
+        vs = _vs()
+        vs.descale = 2
+        full = vs.desired_cfg()
+        assert full == vs.base_cfg
+        vs.apply_input({"type": "orbit", "dx": 3, "dy": 0})
+        low = vs.desired_cfg()
+        assert low.width == 16 and low.height == 16
+        assert low.max_depth == vs.base_cfg.max_depth
+        vs.apply_input({"type": "end"})
+        assert vs.desired_cfg() == vs.base_cfg
+
+    def test_worker_scene_swap(self):
+        """Worker-side hot swap: scene + camera + env_mode update, compiled
+        variants invalidate (ref sample_example.cpp:114-158 loader thread)."""
+        from eidola_tpu.app.viewer import _load_scene_request
+
+        vs = _vs()
+        vs.ready_cfgs.add(vs.base_cfg)
+        _load_scene_request(vs, {"scene": "boxes"})
+        assert vs.scene_name == "boxes"
+        assert len(vs.ready_cfgs) == 0
+        assert vs.reset_requested
+
+    def test_endpoints_drive_state(self):
+        """POST /config and /scene through the real HTTP stack."""
+        import json as _json
+        import threading
+        import urllib.request
+        from http.server import ThreadingHTTPServer
+
+        vs = _vs()
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(vs))
+        port = srv.server_address[1]
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            def post(path, body):
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}{path}",
+                    data=_json.dumps(body).encode(), method="POST",
+                )
+                return urllib.request.urlopen(req, timeout=5).status
+
+            assert post("/config", {"denoise": False}) == 200
+            assert vs.base_cfg.denoise is False
+            assert post("/scene", {"scene": "cornell"}) == 200
+            assert vs.pending_scene == {"scene": "cornell"}
+            assert post("/input", {"type": "orbit", "dx": 2, "dy": 1}) == 200
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/stats", timeout=5
+            ) as r:
+                stats = _json.loads(r.read())
+            assert stats["config"]["denoise"] is False
+        finally:
+            srv.shutdown()

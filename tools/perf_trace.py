@@ -29,19 +29,40 @@ def main():
     ap.add_argument("--grid", type=int, default=16)
     ap.add_argument("--size", type=int, nargs=2, default=[1920, 1080])
     ap.add_argument("--which", default="all")
+    ap.add_argument("--scene", default="stress",
+                    help="stress | bistro (2.83M-tri bench scene)")
+    ap.add_argument("--trav", default="binary",
+                    help="binary | wide (4-ary collapse, ops/bvh_wide.py)")
     args = ap.parse_args()
 
-    from eidola_tpu.models.scenes import stress_grid
+    from eidola_tpu.models.scenes import bistro_standin, stress_grid
     from eidola_tpu.ops import rng as erng
-    from eidola_tpu.ops.packets import closest_hit_img, closest_hit_sorted
+    from eidola_tpu.ops.packets import (
+        any_hit_img, closest_hit_img, closest_hit_sorted,
+    )
     from eidola_tpu.scene.camera import spawn_rays
 
     w, h = args.size
-    scene, cam = stress_grid(args.grid)
+    if args.scene == "bistro":
+        scene, cam = bistro_standin()
+    else:
+        scene, cam = stress_grid(args.grid)
+    if args.trav == "wide":
+        from eidola_tpu.ops.bvh_wide import wide_from_bvh
+
+        t0 = time.perf_counter()
+        scene = scene._replace(bvh=wide_from_bvh(scene.bvh))
+        print(f"wide collapse: {time.perf_counter() - t0:.1f}s, "
+              f"rows {scene.bvh.walk4.shape[0]}, "
+              f"stack depth {scene.bvh.stack_pad.shape[0]}")
+
     n_tris = int(scene.bvh.n_tris)
     n_rays = w * h
+    walk = getattr(scene.bvh, "walk", None)
+    n_nodes = (walk.shape[0] if walk is not None
+               else scene.bvh.walk4.shape[0])
     print(f"scene: {n_tris} tris, {n_rays} rays, "
-          f"walk nodes {scene.bvh.walk.shape[0]}, "
+          f"walk nodes {n_nodes}, "
           f"leaf rows {scene.bvh.leaf_blocks.shape}")
 
     st = erng.seed_pixels(h, w, jnp.uint32(7))
@@ -53,6 +74,25 @@ def main():
         f = jax.jit(lambda o, d: closest_hit_img(scene.bvh, o, d, tmin, tmax))
         ms = timeit(f, o, d)
         print(f"primaries (tiled):  {ms:8.2f} ms   "
+              f"{n_rays / ms / 1e3:.1f} Mrays/s")
+
+    if args.which in ("all", "occl"):
+        # DI-shadow-style occlusion: raster-coherent origins at primary hit
+        # points, directions toward a handful of light positions
+        f0 = jax.jit(lambda o, d: closest_hit_img(scene.bvh, o, d, tmin, tmax))
+        rec = f0(o, d)
+        hitp = o + d * jnp.where(rec.t > 1e20, 10.0, rec.t)[..., None] * 0.99
+        rng = np.random.default_rng(3)
+        lp = jnp.asarray(rng.uniform(-40, 40, (8, 3)).astype(np.float32) +
+                         np.float32([0, 60, 0]))
+        pick = jnp.asarray(rng.integers(0, 8, (h, w)))
+        tgt = lp[pick]
+        sd = tgt - hitp
+        dist = jnp.linalg.norm(sd, axis=-1, keepdims=True)
+        sd = sd / jnp.maximum(dist, 1e-6)
+        f = jax.jit(lambda o, d, tm: any_hit_img(scene.bvh, o, d, tmin, tm))
+        ms = timeit(f, hitp, sd, dist[..., 0] * 0.999)
+        print(f"occlusion (tiled):  {ms:8.2f} ms   "
               f"{n_rays / ms / 1e3:.1f} Mrays/s")
 
     if args.which in ("all", "bounce"):
