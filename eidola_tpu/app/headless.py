@@ -80,6 +80,9 @@ def build_argparser() -> argparse.ArgumentParser:
                         "variant (ref post.frag:133-152)")
     p.add_argument("--exposure", type=float, default=1.0)
     p.add_argument("--no-texture-mips", action="store_true")
+    p.add_argument("--shadow-cadence", type=int, default=1,
+                   help="DI shadow visibility-reuse cadence (1 = validate "
+                        "every frame; N = 1/N of tiles per frame)")
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -120,6 +123,7 @@ def run(argv=None) -> dict:
         ),
         tonemap_kind={"uncharted2": 0, "hejl": 1, "aces": 2}[args.tonemap],
         texture_mips=not args.no_texture_mips,
+        shadow_cadence=args.shadow_cadence,
     )
     params, tm = default_params(), default_tonemap()
     import jax.numpy as jnp

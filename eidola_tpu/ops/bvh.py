@@ -57,6 +57,10 @@ CHUNK = int(os.environ.get("EIDOLA_CHUNK", "4096"))
 SUBW = int(os.environ.get("EIDOLA_SUBW", "128"))
 # drain variant: "flat" (default) or "skip" (measurement only: walk cost)
 DRAIN = os.environ.get("EIDOLA_DRAIN", "flat")
+# leaf intersection math: "cols" (unrolled per-triangle VPU loop) or
+# "matmul" (one batched MXU matmul per event chunk — see _mt_matmul)
+MT_MODE = os.environ.get("EIDOLA_MT", "cols")
+MT_PREC = os.environ.get("EIDOLA_MT_PREC", "highest")
 _BIG = 1e30
 
 
@@ -240,6 +244,99 @@ def _mt_cols(col, n_tris: int, ox, oy, oz, dx, dy, dz, t_min, t_lim):
     return t_b, k_b, u_b, v_b
 
 
+def _mt_matmul(row, n_tris, ox, oy, oz, dx, dy, dz, t_min, t_lim):
+    """Leaf-block Moller-Trumbore as ONE batched MXU matmul per chunk.
+
+    MT's four determinant forms are all LINEAR in the 10 ray features
+    f = [o', d, o'xd, 1] (o' = o recentred to the leaf anchor for FP
+    conditioning), with per-triangle coefficient vectors:
+
+        det   = -d . n                      (n = e1 x e2)
+        t_num =  o'. n          - v0'. n
+        u_num =  (o'xd) . e2    + d . (v0' x e2)
+        v_num = -(o'xd) . e1    + d . (e1 x v0')
+
+    (scalar-triple-product expansions of the classic P = d x e2 /
+    Q = tv x e1 forms — identical math to _mt_cols reorganized, so
+    results match up to FP reassociation.)  The whole leaf block is then
+    (lanes x 10) @ (10 x 4*n_tris) — systolic-array work instead of an
+    unrolled per-triangle VPU loop — followed by an elementwise epilogue
+    and a min-reduce over the triangle axis.  Coefficients are computed
+    in-graph from the SAME gathered (v0, e1, e2) rows (per event x tri —
+    128x cheaper than per event x lane x tri).
+
+    row: (CE, n_tris*12); rays: (CE, LANES).  Returns per-lane best
+    (t, slot k, u, v) with t = _BIG on miss, exactly like _mt_cols.
+    """
+    ce = row.shape[0]
+    tri = row.reshape(ce, n_tris, 12)
+    v0 = tri[:, :, 0:3]
+    e1 = tri[:, :, 3:6]
+    e2 = tri[:, :, 6:9]
+    anchor = v0[:, 0, :]                           # (CE, 3) leaf anchor
+    v0c = v0 - anchor[:, None, :]                  # (CE, n, 3)
+    nvec = jnp.cross(e1, e2)
+
+    z3 = jnp.zeros_like(nvec)
+    z1 = jnp.zeros_like(nvec[..., :1])
+    const_t = -jnp.sum(v0c * nvec, -1, keepdims=True)
+    # coefficient rows over features [o'(3), d(3), o'xd(3), 1]
+    c_det = jnp.concatenate([z3, -nvec, z3, z1], -1)
+    c_t = jnp.concatenate([nvec, z3, z3, const_t], -1)
+    c_u = jnp.concatenate([z3, jnp.cross(v0c, e2), e2, z1], -1)
+    c_v = jnp.concatenate([z3, jnp.cross(e1, v0c), -e1, z1], -1)
+    oxp = ox - anchor[:, 0:1]
+    oyp = oy - anchor[:, 1:2]
+    ozp = oz - anchor[:, 2:3]
+    cx = oyp * dz - ozp * dy
+    cy = ozp * dx - oxp * dz
+    cz = oxp * dy - oyp * dx
+    feats = jnp.stack(
+        [oxp, oyp, ozp, dx, dy, dz, cx, cy, cz, jnp.ones_like(ox)], -1
+    )                                              # (CE, LANES, 10)
+
+    prec = {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }[MT_PREC]
+
+    def bdot(c):
+        # (CE, LANES, 10) @ (CE, 10, n) — one quantity per dot, nothing
+        # between the dot and its elementwise consumers (fusion-friendly)
+        return jax.lax.dot_general(
+            feats, c.transpose(0, 2, 1),
+            (((2,), (1,)), ((0,), (0,))), precision=prec,
+        )
+
+    det = bdot(c_det)
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    tk = bdot(c_t) * inv_det
+    uk = bdot(c_u) * inv_det
+    vk = bdot(c_v) * inv_det
+    hit = (
+        (jnp.abs(det) > 1e-12)
+        & (uk >= 0.0)
+        & (vk >= 0.0)
+        & (uk + vk <= 1.0)
+        & (tk > t_min[..., None])
+        & (tk < t_lim[..., None])
+    )
+    tm = jnp.where(hit, tk, _BIG)
+    k = jnp.argmin(tm, axis=-1).astype(jnp.int32)  # first min, like the
+    #                                                unrolled (tk < t_b) scan
+    t_b = jnp.take_along_axis(tm, k[..., None], -1)[..., 0]
+    miss = t_b >= _BIG
+    u_b = jnp.where(
+        miss, 0.0, jnp.take_along_axis(uk, k[..., None], -1)[..., 0]
+    )
+    v_b = jnp.where(
+        miss, 0.0, jnp.take_along_axis(vk, k[..., None], -1)[..., 0]
+    )
+    k = jnp.where(miss, 0, k)
+    return t_b, k, u_b, v_b
+
+
 def _mt_block(row, ox, oy, oz, dx, dy, dz, t_min, t_lim):
     """Leaf-block MT where row (C, n*12) holds per-row triangle data
     (compat wrapper over _mt_cols)."""
@@ -249,12 +346,19 @@ def _mt_block(row, ox, oy, oz, dx, dy, dz, t_min, t_lim):
     )
 
 
-def _traverse(bvh: BVH, o, d, t_min, t_max, any_hit: bool, max_steps: int):
+def _traverse(bvh, o, d, t_min, t_max, any_hit: bool, max_steps: int,
+              inst=None):
     """Packet traversal core.  o, d: (R, 3); t_min/t_max: (R,).
 
     WALK: 128 coherent rays share one node cursor; the packet advances when
     ANY member ray hits the node box — one (n_pkt, 8) row gather plus dense
     (n_pkt, 128) vector math per step (full VPU tile occupancy).
+
+    INSTANCING: when `inst` (ops/bvh_instanced.InstIndex) is given, leaf
+    ids index a global leaf table; the drain gathers the event's shared
+    mesh leaf row + instance inverse transform and intersects the rays in
+    OBJECT space (t is preserved because the transformed direction is not
+    renormalized).  inst=None compiles the flattened fast path unchanged.
 
     SUB-PACKET EVENTS (round 2): leaf events are recorded per SUBW-ray
     SUB-packet, masked by that sub-group's own slab result — each sub-packet
@@ -415,7 +519,11 @@ def _traverse(bvh: BVH, o, d, t_min, t_max, any_hit: bool, max_steps: int):
             sp = jnp.clip(sp, 0, n_sp - 1)
             j = jnp.clip(s - offsets[sp], 0, QUEUE - 1)
             leaf = queue[sp, j]                      # (CE,)
-            row = leaf_rows[leaf]                    # (CE, leaf_size*12)
+            if inst is None:
+                row = leaf_rows[leaf]                # (CE, leaf_size*12)
+            else:
+                row = leaf_rows[inst.leaf_mesh_row[leaf]]
+                xf = inst.inst_inv[inst.leaf_inst[leaf]]   # (CE, 12)
 
             def g(a):
                 # (CE, SUBW) sub-event lanes packed dense as (CR, PACKET)
@@ -428,11 +536,31 @@ def _traverse(bvh: BVH, o, d, t_min, t_max, any_hit: bool, max_steps: int):
             gox, goy, goz = g(oxs), g(oys), g(ozs)
             gdx, gdy, gdz = g(dxs), g(dys), g(dzs)
             gtmin, gtb = g(tmins), g(tb_s)
+            if inst is not None:
+                # rays -> instance object space (unnormalized direction
+                # keeps hit t identical across spaces)
+                xc = lambda i: expand_ev(xf[:, i])
+                gox, goy, goz = (
+                    xc(0) * gox + xc(1) * goy + xc(2) * goz + xc(3),
+                    xc(4) * gox + xc(5) * goy + xc(6) * goz + xc(7),
+                    xc(8) * gox + xc(9) * goy + xc(10) * goz + xc(11),
+                )
+                gdx, gdy, gdz = (
+                    xc(0) * gdx + xc(1) * gdy + xc(2) * gdz,
+                    xc(4) * gdx + xc(5) * gdy + xc(6) * gdz,
+                    xc(8) * gdx + xc(9) * gdy + xc(10) * gdz,
+                )
 
-            col = lambda i: expand_ev(row[:, i])
-            t_e, k_e, u_e, v_e = _mt_cols(
-                col, leaf_size, gox, goy, goz, gdx, gdy, gdz, gtmin, gtb,
-            )
+            if MT_MODE == "matmul" and SUBW == PACKET:
+                t_e, k_e, u_e, v_e = _mt_matmul(
+                    row, leaf_size,
+                    gox, goy, goz, gdx, gdy, gdz, gtmin, gtb,
+                )
+            else:
+                col = lambda i: expand_ev(row[:, i])
+                t_e, k_e, u_e, v_e = _mt_cols(
+                    col, leaf_size, gox, goy, goz, gdx, gdy, gdz, gtmin, gtb,
+                )
             valid_d = expand_ev(valid.astype(jnp.int32)) > 0
             t_e = jnp.where(valid_d, t_e, _BIG)
             slot_e = expand_ev(leaf) * leaf_size + k_e
@@ -519,7 +647,18 @@ def _traverse(bvh: BVH, o, d, t_min, t_max, any_hit: bool, max_steps: int):
         return a.reshape(n_pkt * PACKET)[:R]
 
     t, tri_slot, u, v = flat(t_best), flat(tri_slot), flat(u), flat(v)
-    tri = jnp.where(tri_slot >= 0, bvh.prim_id[jnp.maximum(tri_slot, 0)], -1)
+    if inst is None:
+        tri = jnp.where(
+            tri_slot >= 0, bvh.prim_id[jnp.maximum(tri_slot, 0)], -1
+        )
+    else:
+        slot = jnp.maximum(tri_slot, 0)
+        leaf_g = slot // leaf_size
+        k = slot % leaf_size
+        mesh_slot = inst.leaf_mesh_row[leaf_g] * leaf_size + k
+        p = inst.mesh_prim[mesh_slot]
+        base = inst.inst_tri_base[inst.leaf_inst[leaf_g]]
+        tri = jnp.where((tri_slot >= 0) & (p >= 0), p + base, -1)
     t = jnp.where(tri >= 0, jnp.abs(t), _BIG)
     return HitRecord(tri=tri, t=t, u=u, v=v), tri_slot
 

@@ -43,8 +43,13 @@ def _is_wide(bvh) -> bool:
     return hasattr(bvh, "walk4")
 
 
+def _is_inst(bvh) -> bool:
+    return hasattr(bvh, "leaf_mesh_row")
+
+
 def _use_pallas(bvh: BVH) -> bool:
-    if _TRAV != "pallas" or jax.default_backend() == "cpu" or _is_wide(bvh):
+    if (_TRAV != "pallas" or jax.default_backend() == "cpu"
+            or _is_wide(bvh) or _is_inst(bvh)):
         return False
     from .bvh_pallas import pallas_supported
 
@@ -52,6 +57,12 @@ def _use_pallas(bvh: BVH) -> bool:
 
 
 def closest_hit(bvh, o, d, t_min, t_max, max_steps: int = 100_000):
+    if _is_inst(bvh):
+        from .bvh_instanced import closest_hit_instanced
+
+        return closest_hit_instanced(
+            bvh, o, d, t_min, t_max, max_steps=max_steps
+        )
     if _is_wide(bvh):
         from .bvh_wide import closest_hit_wide
 
@@ -64,6 +75,10 @@ def closest_hit(bvh, o, d, t_min, t_max, max_steps: int = 100_000):
 
 
 def any_hit(bvh, o, d, t_min, t_max, max_steps: int = 100_000):
+    if _is_inst(bvh):
+        from .bvh_instanced import any_hit_instanced
+
+        return any_hit_instanced(bvh, o, d, t_min, t_max, max_steps=max_steps)
     if _is_wide(bvh):
         from .bvh_wide import any_hit_wide
 

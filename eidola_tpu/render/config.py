@@ -73,6 +73,16 @@ class RenderConfig:
     # ray-cone mip filtering of textures (level from hit distance x pixel
     # angle; the reference builds mip chains but shades at lod 0)
     texture_mips: bool = True
+    # DI shadow-ray visibility reuse cadence: 1 = validate the RIS winner
+    # with a shadow ray every frame (reference behavior,
+    # direct_stage.comp:200-207); N > 1 = only ~1/N of 8x16 ray-packet
+    # tiles re-validate per frame, the rest reuse the reprojected
+    # visibility of their last validated winner (ReSTIR "visibility
+    # reuse": a bias-vs-speed knob — the bias is bounded by the cadence
+    # and gated by the same normal/depth/matHash reprojection tests as
+    # temporal reuse).  Disocclusions and unknown-visibility pixels always
+    # re-validate.
+    shadow_cadence: int = 1
     # tonemap operator: 0 = Uncharted2, 1 = HejlRichard, 2 = ACES
     # (ref tonemapping.glsl; selected at post.frag:29)
     tonemap_kind: int = 0

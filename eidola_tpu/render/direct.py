@@ -60,6 +60,9 @@ class DirectOut(NamedTuple):
     motion: jnp.ndarray      # (H, W, 2) i32 last-frame pixel (y, x); -1 invalid
     resv: dict               # DI reservoirs to carry into the next frame
     state: State             # full shading state of the primary hit
+    vis: jnp.ndarray         # (H, W) f32 winner visibility carry
+    #                          (1 visible / 0 occluded / -1 unknown; only
+    #                          meaningful when cfg.shadow_cadence > 1)
 
 
 def _demod_bsdf(state: State) -> BsdfParams:
@@ -144,6 +147,8 @@ def direct_stage(
     prev_resv: dict,
     prev_cam: Camera,
     rng_state,
+    prev_vis=None,
+    frame_idx=None,
 ) -> tuple[jnp.ndarray, DirectOut]:
     h, w = cfg.height, cfg.width
     R = h * w
@@ -196,6 +201,22 @@ def direct_stage(
             r, {"li": ls.li, "wi": ls.wi, "dist": ls.dist}, wgt, u
         )
 
+    # --- reprojection gates (shared by temporal merge + visibility reuse)
+    temporal_on = cfg.restir_mode in (RESTIR_TEMPORAL, RESTIR_SPATIOTEMPORAL)
+    use_vis_reuse = cfg.shadow_cadence > 1 and prev_vis is not None
+    gates = None
+    flat_idx = None
+    if temporal_on or use_vis_reuse:
+        prev_view = decode_gbuffer(
+            prev_gbuf, prev_cam.pos, center_rays(prev_cam, h, w)
+        )
+        flat_idx = jnp.clip(motion[..., 0], 0, h - 1) * w + jnp.clip(
+            motion[..., 1], 0, w - 1
+        )
+        flat_idx = flat_idx.reshape(-1)
+        hist_view = _gather_view(prev_view, flat_idx)
+        gates = _temporal_gates(view, hist_view) & (motion[..., 0] >= 0)
+
     # --- shadow ray for the RIS winner --------------------------- K1:200-207
     sel = r["sample"]
     origin = offset_ray(
@@ -210,7 +231,28 @@ def direct_stage(
     # docs/PERF_NOTES.md).  Alpha-tested scenes keep the sorted
     # trace_occlusion (it carries the stochastic HitTest re-trace).
     need = state.valid & (r["weight"] > 0.0)
-    shadow_tmax = jnp.where(need, sel["dist"] * 0.999, -1.0)
+    if use_vis_reuse:
+        # visibility reuse (VERDICT r2 #3a): only ~1/cadence of 8x16
+        # ray-packet tiles re-validate; the rest reuse the reprojected
+        # visibility of the last validated winner.  The mask is per TILE
+        # so skipped packets retire from the traversal in one step (a
+        # per-pixel checker would leave every packet live).
+        from ..ops.packets import TILE_H, TILE_W
+
+        fi = (jnp.asarray(0, jnp.uint32) if frame_idx is None
+              else frame_idx.astype(jnp.uint32))
+        ty = jnp.arange(h, dtype=jnp.uint32)[:, None] // TILE_H
+        tx = jnp.arange(w, dtype=jnp.uint32)[None, :] // TILE_W
+        tile_id = ty * jnp.uint32(-(-w // TILE_W)) + tx
+        tile_rand = erng.tea(tile_id, jnp.broadcast_to(fi, tile_id.shape))
+        tile_active = (tile_rand % jnp.uint32(cfg.shadow_cadence)) == 0
+        vis_prev = prev_vis.reshape(-1)[flat_idx].reshape(h, w)
+        vis_known = gates & (vis_prev >= 0.0)
+        must = need & (tile_active | ~vis_known)
+        shadow_tmax = jnp.where(must, sel["dist"] * 0.999, -1.0)
+    else:
+        must = need
+        shadow_tmax = jnp.where(need, sel["dist"] * 0.999, -1.0)
     use_tiled = (
         not cfg.alpha_geometry
         and os.environ.get("EIDOLA_DI_SHADOW", "tiled") == "tiled"
@@ -227,20 +269,20 @@ def direct_stage(
             cfg, scene, origin, sel["wi"],
             jnp.full((h, w), _TMIN), shadow_tmax, rng_state,
         )
+    if use_vis_reuse:
+        occluded = jnp.where(must, occluded, vis_prev < 0.5)
+        vis_out = jnp.where(
+            need, jnp.where(occluded, 0.0, 1.0), -1.0
+        )
+    else:
+        vis_out = jnp.where(
+            need, jnp.where(occluded, 0.0, 1.0), -1.0
+        )
     r["weight"] = jnp.where(occluded | ~state.valid, 0.0, r["weight"])
 
     # --- temporal reuse ------------------------------------- K1:47-84,209-217
-    if cfg.restir_mode in (RESTIR_TEMPORAL, RESTIR_SPATIOTEMPORAL):
-        prev_view = decode_gbuffer(
-            prev_gbuf, prev_cam.pos, center_rays(prev_cam, h, w)
-        )
-        flat_idx = jnp.clip(motion[..., 0], 0, h - 1) * w + jnp.clip(
-            motion[..., 1], 0, w - 1
-        )
-        flat_idx = flat_idx.reshape(-1)
-        hist_view = _gather_view(prev_view, flat_idx)
+    if temporal_on:
         hist_resv = _gather_resv(prev_resv, flat_idx, h, w)
-        gates = _temporal_gates(view, hist_view) & (motion[..., 0] >= 0)
         rng_state, u = erng.rand(rng_state)
         r = resv.resv_merge_same_target(r, hist_resv, u, enabled=gates)
 
@@ -279,6 +321,7 @@ def direct_stage(
         motion=motion,
         resv=carry,
         state=state,
+        vis=vis_out,
     )
 
 

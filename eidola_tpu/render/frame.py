@@ -54,6 +54,8 @@ class FrameState(NamedTuple):
     frame_idx: jnp.ndarray   # () i32
     gbuf: GBuffer            # last frame's G-buffer
     di_resv: dict            # last DI reservoirs (H, W)
+    di_vis: jnp.ndarray      # (H, W) f32 last winner visibility (-1 unknown;
+    #                          drives shadow_cadence visibility reuse)
     gi_resv: dict            # last GI reservoirs (H/2, W/2)
     prev_cam: Camera         # camera that produced gbuf
     accum: jnp.ndarray       # (H, W, 3) progressive accumulation (HDR)
@@ -67,6 +69,7 @@ def init_frame_state(cfg: RenderConfig, cam: Camera) -> FrameState:
         frame_idx=jnp.asarray(0, jnp.int32),
         gbuf=empty_gbuffer(h, w),
         di_resv=empty_di_reservoir(h, w),
+        di_vis=jnp.full((h, w), -1.0, jnp.float32),
         gi_resv=empty_gi_reservoir(h // stride, w // stride),
         prev_cam=cam,
         accum=jnp.zeros((h, w, 3), jnp.float32),
@@ -152,7 +155,7 @@ def render_frame(
     # ---- direct stage (K1) -------------------------------------------------
     rng_full, out_d = direct_stage(
         cfg, scene, params, cam, state.gbuf, state.di_resv, state.prev_cam,
-        rng_full,
+        rng_full, prev_vis=state.di_vis, frame_idx=state.frame_idx,
     )
 
     # ---- indirect stage (K2) ----------------------------------------------
@@ -225,6 +228,7 @@ def render_frame(
         frame_idx=state.frame_idx + 1,
         gbuf=out_d.gbuf,
         di_resv=out_d.resv,
+        di_vis=out_d.vis,
         gi_resv=out_i.resv,
         prev_cam=cam,
         accum=accum,

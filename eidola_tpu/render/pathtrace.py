@@ -236,9 +236,15 @@ def light_pdf_for_bsdf_dir(
     escaped = hit_tri < 0
     pdf_env = env_pdf_dir(cfg, scene, d) * env_p
 
-    tid = jnp.maximum(hit_tri, 0)
+    from ..scene.data import shade_row
+
+    tid, inst_id = shade_row(scene, jnp.maximum(hit_tri, 0))
     pmf = scene.tri_light_pmf[tid]
     area = scene.tri_light_area[tid]
+    if inst_id is not None:
+        # instanced pools store the unnormalized mesh weight / object area
+        pmf = pmf * scene.inst.pmf_scale[inst_id]
+        area = area * scene.inst.area_scale[inst_id]
     pdf_trig = (
         pmf
         * hit_dist

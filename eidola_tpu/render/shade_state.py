@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from ..ops import octahedral as octa
 from ..ops.math import dot3, normalize
-from ..scene.data import SceneData
+from ..scene.data import SceneData, rot_apply, shade_row
 from ..scene.textures import sample_bilinear
 from .bsdf import BsdfParams
 
@@ -61,22 +61,31 @@ def get_state(scene: SceneData, o, d, tri, t, u, v, cone_angle=None) -> State:
     Lanes with tri < 0 get a zeroed state with valid=False.
     """
     valid = tri >= 0
-    tid = jnp.maximum(tri, 0)
+    tid, inst_id = shade_row(scene, jnp.maximum(tri, 0))
     fp = None
     if cone_angle is not None:
         fp = t * cone_angle * scene.tri_uv_density[tid]
+        if inst_id is not None:
+            fp = fp * scene.inst.uvd_scale[inst_id]
 
     pos = o + d * t[..., None]
 
     nrm_pk = scene.tri_nrm[tid]                       # (..., 3) u32
     n_verts = octa.decode_unit_u32(nrm_pk)            # (..., 3, 3)
-    nrm = normalize(_bary_mix(n_verts, u, v))
+    nrm = _bary_mix(n_verts, u, v)
 
     uv_interp = _bary_mix(scene.tri_uv[tid], u, v)    # (..., 2)
 
     # geometric normal, oriented against the incoming ray (double-sided
     # shading, ref shade_state.glsl facing flip)
     geo = octa.decode_unit_u32(scene.tri_gn[tid])
+    if inst_id is not None:
+        # pools store OBJECT-space directions: rotate to world (rotation is
+        # linear, so rotating the barycentric mix == mixing rotated verts)
+        nr = scene.inst.nrm_rot[inst_id]              # (..., 9)
+        nrm = rot_apply(nr, nrm)
+        geo = normalize(rot_apply(nr, geo))
+    nrm = normalize(nrm)
     flip = dot3(geo, d) > 0.0
     geo_n = jnp.where(flip[..., None], -geo, geo)
     shade_n = jnp.where(flip[..., None], -nrm, nrm)
@@ -110,8 +119,12 @@ def get_state(scene: SceneData, o, d, tri, t, u, v, cone_angle=None) -> State:
     # normal mapping via per-vertex tangent frame (ref gltf_material.glsl:134-146)
     has_nm = m.normal_tex[mat_id] >= 0
     tan_verts = octa.decode_unit_u32(scene.tri_tangent[tid])
-    tangent = normalize(_bary_mix(tan_verts, u, v))
+    tangent = _bary_mix(tan_verts, u, v)
     hand = _bary_mix(scene.tri_hand[tid][..., None], u, v)[..., 0]
+    if inst_id is not None:
+        tangent = rot_apply(scene.inst.rot[inst_id], tangent)
+        hand = hand * scene.inst.hand_flip[inst_id]
+    tangent = normalize(tangent)
     # orthogonalize against the shading normal
     tangent = normalize(tangent - shade_n * dot3(tangent, shade_n)[..., None])
     bitan = jnp.cross(shade_n, tangent) * jnp.sign(hand)[..., None]

@@ -47,9 +47,10 @@ def _surface_opacity(scene: SceneData, tri, u, v):
     """Opacity at a hit: base-color alpha factor x base texture alpha
     (the cheap subset of GetMaterials the alpha test needs,
     ref traceray_rq.glsl:58-80)."""
+    from ..scene.data import shade_row
     from ..scene.textures import sample_bilinear
 
-    t = jnp.maximum(tri, 0)
+    t, _ = shade_row(scene, jnp.maximum(tri, 0))
     uvs = scene.tri_uv[t]                       # (..., 3, 2)
     w0 = (1.0 - u - v)[..., None]
     uv = uvs[..., 0, :] * w0 + uvs[..., 1, :] * u[..., None] \
@@ -66,9 +67,9 @@ def _alpha_passthrough(scene: SceneData, rec, rng_state):
     """Which hits the alpha test rejects (ray continues past them):
     MASK -> opacity < cutoff; BLEND -> stochastic rand >= opacity
     (ref traceray_rq.glsl:87-101)."""
-    from ..scene.data import ALPHA_BLEND, ALPHA_MASK
+    from ..scene.data import ALPHA_BLEND, ALPHA_MASK, shade_row
 
-    mat = scene.tri_mat[jnp.maximum(rec.tri, 0)]
+    mat = scene.tri_mat[shade_row(scene, jnp.maximum(rec.tri, 0))[0]]
     am = scene.materials.alpha_mode[mat]
     opac = _surface_opacity(scene, rec.tri, rec.u, rec.v)
     rng_state, uu = erng.rand(rng_state)
@@ -308,8 +309,13 @@ def trace_radiance(
                 w_em = power_heuristic(last_bsdf_pdf, lp)
             elif cfg.use_nee and depth > nee_start_depth:
                 # NEE-only: count emitter hits only for lights NEE can't find
+                from ..scene.data import shade_row as _srow
+
                 w_em = jnp.where(
-                    scene.tri_light_pmf[jnp.maximum(tri, 0)] > 0.0, 0.0, 1.0
+                    scene.tri_light_pmf[
+                        _srow(scene, jnp.maximum(tri, 0))[0]
+                    ] > 0.0,
+                    0.0, 1.0,
                 )
             else:
                 w_em = jnp.ones(shape, jnp.float32)

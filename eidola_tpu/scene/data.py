@@ -113,6 +113,57 @@ class SunSkyParams(NamedTuple):
                                     # irradiance (finalize_sunsky)
 
 
+class Instancing(NamedTuple):
+    """Per-instance indirection for shading when the scene is instanced
+    (ref scene.cpp InstanceData / shade_state.glsl:63-90 instance->primMesh
+    chase).  When present, the tri_* attribute arrays of SceneData are
+    MESH-LOCAL pools shared by all instances of a mesh; a hit's global
+    triangle id resolves to (instance, pool row) via tri_base, and normals/
+    tangents (stored in object space) rotate into world space at gather
+    time."""
+    tri_base: jnp.ndarray    # (I,) i32 global tri base per instance (sorted)
+    attr_base: jnp.ndarray   # (I,) i32 attr-pool row base of the mesh
+    rot: jnp.ndarray         # (I, 9) f32 object->world linear part (row-major)
+    nrm_rot: jnp.ndarray     # (I, 9) f32 inverse-transpose (normal matrix)
+    hand_flip: jnp.ndarray   # (I,) f32 sign(det): mirrored instances flip
+    #                          the bitangent handedness
+    area_scale: jnp.ndarray  # (I,) f32 world/object triangle-area ratio
+    #                          (|det|^(2/3); exact for uniform scales)
+    uvd_scale: jnp.ndarray   # (I,) f32 1/sqrt(area_scale): uv-density factor
+    pmf_scale: jnp.ndarray   # (I,) f32 converts the pool's unnormalized
+    #                          emissive weight (lum x mesh area) into the
+    #                          world light-table pmf for this instance
+
+
+def shade_row(scene: "SceneData", tid):
+    """Resolve a global triangle id to (attr row, instance id).  Identity
+    (inst None) on flattened scenes — the common fast path compiles to the
+    plain gather."""
+    if scene.inst is None:
+        return tid, None
+    i = (
+        jnp.searchsorted(
+            scene.inst.tri_base, tid, side="right"
+        ).astype(jnp.int32)
+        - 1
+    )
+    i = jnp.maximum(i, 0)
+    row = scene.inst.attr_base[i] + (tid - scene.inst.tri_base[i])
+    return row, i
+
+
+def rot_apply(m9, x):
+    """Apply gathered (..., 9) row-major 3x3 matrices to (..., 3) vectors."""
+    return jnp.stack(
+        [
+            m9[..., 0] * x[..., 0] + m9[..., 1] * x[..., 1] + m9[..., 2] * x[..., 2],
+            m9[..., 3] * x[..., 0] + m9[..., 4] * x[..., 1] + m9[..., 5] * x[..., 2],
+            m9[..., 6] * x[..., 0] + m9[..., 7] * x[..., 1] + m9[..., 8] * x[..., 2],
+        ],
+        axis=-1,
+    )
+
+
 class SceneData(NamedTuple):
     """Everything the jitted frame function needs, as one pytree."""
     bvh: BVH
@@ -125,7 +176,9 @@ class SceneData(NamedTuple):
     tri_mat: jnp.ndarray       # (T,) i32 material id
     tri_light_pmf: jnp.ndarray  # (T,) f32 alias-table pmf of this triangle as
                                 # a light (0 = not emissive); used for MIS when
-                                # a BSDF ray hits an emitter (pathtrace.glsl:74-88)
+                                # a BSDF ray hits an emitter (pathtrace.glsl:74-88).
+                                # Instanced scenes store the UNNORMALIZED mesh
+                                # weight here; multiply by inst.pmf_scale.
     tri_light_area: jnp.ndarray  # (T,) f32 world-space area (for the same MIS pdf)
     tri_uv_density: jnp.ndarray  # (T,) f32 sqrt(uv_area/world_area): texture
                                  # footprint scale for mip selection
@@ -134,6 +187,8 @@ class SceneData(NamedTuple):
     lights: Lights
     env: Optional[EnvMap]
     sunsky: SunSkyParams
+    inst: Optional[Instancing] = None  # set on instanced scenes (tri_*
+    #                                    arrays are then mesh-local pools)
 
 
 def default_sunsky() -> SunSkyParams:
@@ -349,30 +404,10 @@ def upload_scene(
 
     Emissive triangles (material emissive luminance > 0) are extracted into
     the triangle-light set automatically (ref scene.cpp:355-409)."""
-    T = v0.shape[0]
-    v0 = np.asarray(v0, np.float32)
-    v1 = np.asarray(v1, np.float32)
-    v2 = np.asarray(v2, np.float32)
-
-    if normals is None:
-        gn = np.cross(v1 - v0, v2 - v0)
-        gn /= np.maximum(np.linalg.norm(gn, axis=-1, keepdims=True), 1e-20)
-        normals = np.repeat(gn[:, None, :], 3, axis=1)
-    if uvs is None:
-        uvs = np.zeros((T, 3, 2), np.float32)
-    if tangents is None:
-        # arbitrary tangent orthogonal to the normal
-        n = normals[:, 0]
-        a = np.where(np.abs(n[:, 0:1]) < 0.9, [[1.0, 0, 0]], [[0, 1.0, 0]])
-        t = np.cross(a, n)
-        t /= np.maximum(np.linalg.norm(t, axis=-1, keepdims=True), 1e-20)
-        tangents = np.concatenate(
-            [np.repeat(t[:, None], 3, axis=1), np.ones((T, 3, 1), np.float32)], -1
-        )
-    if colors is None:
-        colors = np.ones((T, 3, 4), np.float32)
-    if mat_ids is None:
-        mat_ids = np.zeros(T, np.int32)
+    v0, v1, v2, prep = _prep_attrs(
+        v0, v1, v2, normals, uvs, tangents, colors, mat_ids
+    )
+    uvs, mat_ids = prep["uv"], prep["mat"]
     if materials is None:
         materials = [{}]
 
@@ -392,29 +427,11 @@ def upload_scene(
         em[np.asarray(mat_ids)][emissive_mask],
     )
     # tri -> light pmf + area for emitter-hit MIS (0 for non-emissive tris)
-    tri_light_pmf = np.zeros(T, np.float32)
-    tri_light_area = (
-        0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=-1)
-    ).astype(np.float32)
+    tri_light_pmf = np.zeros(v0.shape[0], np.float32)
     if emissive_mask.any():
         tri_light_pmf[emissive_mask] = np.asarray(lights.trig_table.pdf)[
             : int(emissive_mask.sum())
         ]
-
-    # uv-space density for mip selection: texels-per-meter modulo resolution
-    uv_e1 = uvs[:, 1] - uvs[:, 0]
-    uv_e2 = uvs[:, 2] - uvs[:, 0]
-    uv_area = 0.5 * np.abs(uv_e1[:, 0] * uv_e2[:, 1] - uv_e1[:, 1] * uv_e2[:, 0])
-    tri_uv_density = np.sqrt(
-        uv_area / np.maximum(tri_light_area, 1e-20)
-    ).astype(np.float32)
-
-    gn = np.cross(v1 - v0, v2 - v0)
-    gn /= np.maximum(np.linalg.norm(gn, axis=-1, keepdims=True), 1e-20)
-    gn_packed = octa.encode_unit_u32_np(gn)
-    nrm_packed = octa.encode_unit_u32_np(normals)
-    tan_packed = octa.encode_unit_u32_np(tangents[..., :3])
-    col_packed = octa.pack_unorm4x8_np(colors)
 
     # Everything is built host-side in numpy, then shipped with ONE
     # device_put per dtype (SURVEY §5.8; replaces the reference's 4-queue
@@ -428,21 +445,219 @@ def upload_scene(
 
     scene = SceneData(
         bvh=build_bvh(v0, v1, v2, as_numpy=True),
-        tri_gn=gn_packed,
-        tri_nrm=nrm_packed,
-        tri_uv=uvs.astype(np.float32),
-        tri_tangent=tan_packed,
-        tri_hand=tangents[..., 3].astype(np.float32),
-        tri_color=col_packed,
-        tri_mat=np.asarray(mat_ids, np.int32),
+        tri_gn=prep["gn"],
+        tri_nrm=prep["nrm"],
+        tri_uv=prep["uv"],
+        tri_tangent=prep["tangent"],
+        tri_hand=prep["hand"],
+        tri_color=prep["color"],
+        tri_mat=prep["mat"],
         tri_light_pmf=tri_light_pmf,
-        tri_light_area=tri_light_area,
-        tri_uv_density=tri_uv_density,
+        tri_light_area=prep["area"],
+        tri_uv_density=prep["uvd"],
         materials=mat_table,
         textures=make_tex_stack(textures),
         lights=lights,
         env=env,
         sunsky=sunsky,
+    )
+    return batched_device_put(scene)
+
+
+def _prep_attrs(v0, v1, v2, normals, uvs, tangents, colors, mat_ids):
+    """Default + pack the per-triangle attribute arrays (shared by the
+    flattened and instanced upload paths).  Returns (v0, v1, v2, dict of
+    packed SoA arrays)."""
+    v0 = np.asarray(v0, np.float32)
+    v1 = np.asarray(v1, np.float32)
+    v2 = np.asarray(v2, np.float32)
+    T = v0.shape[0]
+
+    gn = np.cross(v1 - v0, v2 - v0)
+    gn /= np.maximum(np.linalg.norm(gn, axis=-1, keepdims=True), 1e-20)
+    if normals is None:
+        normals = np.repeat(gn[:, None, :], 3, axis=1)
+    if uvs is None:
+        uvs = np.zeros((T, 3, 2), np.float32)
+    if tangents is None:
+        # arbitrary tangent orthogonal to the normal
+        n = normals[:, 0]
+        a = np.where(np.abs(n[:, 0:1]) < 0.9, [[1.0, 0, 0]], [[0, 1.0, 0]])
+        t = np.cross(a, n)
+        t /= np.maximum(np.linalg.norm(t, axis=-1, keepdims=True), 1e-20)
+        tangents = np.concatenate(
+            [np.repeat(t[:, None], 3, axis=1), np.ones((T, 3, 1), np.float32)], -1
+        )
+    if colors is None:
+        colors = np.ones((T, 3, 4), np.float32)
+    if mat_ids is None:
+        mat_ids = np.zeros(T, np.int32)
+
+    area = (
+        0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=-1)
+    ).astype(np.float32)
+    # uv-space density for mip selection: texels-per-meter modulo resolution
+    uv_e1 = uvs[:, 1] - uvs[:, 0]
+    uv_e2 = uvs[:, 2] - uvs[:, 0]
+    uv_area = 0.5 * np.abs(uv_e1[:, 0] * uv_e2[:, 1] - uv_e1[:, 1] * uv_e2[:, 0])
+    uvd = np.sqrt(uv_area / np.maximum(area, 1e-20)).astype(np.float32)
+
+    return v0, v1, v2, {
+        "gn": octa.encode_unit_u32_np(gn),
+        "nrm": octa.encode_unit_u32_np(np.asarray(normals, np.float32)),
+        "uv": np.asarray(uvs, np.float32),
+        "tangent": octa.encode_unit_u32_np(
+            np.asarray(tangents, np.float32)[..., :3]
+        ),
+        "hand": np.asarray(tangents, np.float32)[..., 3],
+        "color": octa.pack_unorm4x8_np(np.asarray(colors, np.float32)),
+        "mat": np.asarray(mat_ids, np.int32),
+        "area": area,
+        "uvd": uvd,
+    }
+
+
+def upload_scene_instanced(
+    meshes: list[dict],
+    instances: list[tuple[int, np.ndarray]],
+    *,
+    materials: list[dict] | None = None,
+    textures: list[np.ndarray] | None = None,
+    punctual: dict | None = None,
+    env: EnvMap | None = None,
+    sunsky: SunSkyParams | None = None,
+) -> SceneData:
+    """Instanced upload: shared OBJECT-space attribute pools + a two-level
+    BVH, so N instances of one mesh cost ~1x the mesh's memory
+    (ref src/accelstruct.cpp:132-162 TLAS-over-BLAS; VERDICT r2 #4).
+
+    meshes: [{"v0", "v1", "v2", optional "normals"/"uvs"/"tangents"/
+    "colors"/"mat_ids"}] in object space; instances: [(mesh_index,
+    4x4-or-3x4 object->world)].  Emissive instanced triangles ARE baked to
+    world per instance for the NEE light table (exact; emitters are a tiny
+    subset), while emitter-hit MIS resolves through inst.pmf_scale.
+    """
+    from ..ops.bvh_instanced import build_instanced_bvh
+
+    if materials is None:
+        materials = [{}]
+    mat_table = make_materials(materials)
+
+    preps, mesh_v = [], []
+    for m in meshes:
+        mv0, mv1, mv2, prep = _prep_attrs(
+            m["v0"], m["v1"], m["v2"], m.get("normals"), m.get("uvs"),
+            m.get("tangents"), m.get("colors"), m.get("mat_ids"),
+        )
+        preps.append(prep)
+        mesh_v.append((mv0, mv1, mv2))
+    pool = {
+        k: np.concatenate([p[k] for p in preps], axis=0)
+        for k in preps[0]
+    }
+    attr_base_mesh = np.zeros(len(meshes) + 1, np.int64)
+    for k, (mv0, _, _) in enumerate(mesh_v):
+        attr_base_mesh[k + 1] = attr_base_mesh[k] + mv0.shape[0]
+
+    # material emissive luminance per pool triangle
+    em = np.zeros((len(materials), 3), np.float32)
+    for i, m in enumerate(materials):
+        em[i] = np.asarray(m.get("emissive", [0, 0, 0]), np.float32)
+    lum_mat = (em * [0.2126, 0.7152, 0.0722]).sum(-1)
+    pool_lum = lum_mat[pool["mat"]]
+    pool_em_mask = pool_lum > 0.0
+    # pool pmf holds the UNNORMALIZED object-space weight (lum x mesh area);
+    # inst.pmf_scale turns it into the world pmf per instance
+    pool_w = np.where(pool_em_mask, pool_lum * pool["area"], 0.0).astype(
+        np.float32
+    )
+
+    # --- per-instance transforms -----------------------------------------
+    I = len(instances)
+    mesh_of = np.asarray([mi for (mi, _) in instances], np.int64)
+    mats3x4 = []
+    for _, m in instances:
+        m = np.asarray(m, np.float64)
+        mats3x4.append(m.reshape(-1, 4)[:3] if m.size == 12
+                       else m.reshape(4, 4)[:3])
+    rot = np.stack([m[:3, :3] for m in mats3x4])          # (I, 3, 3)
+    det = np.linalg.det(rot)
+    nrm_rot = np.stack([np.linalg.inv(r).T for r in rot])
+    area_scale = np.abs(det) ** (2.0 / 3.0)
+    tri_base = np.zeros(I, np.int64)
+    acc = 0
+    for k in range(I):
+        tri_base[k] = acc
+        acc += mesh_v[mesh_of[k]][0].shape[0]
+
+    # --- world-space emissive triangles (exact, per instance) ------------
+    ev0, ev1, ev2, eem, e_inst_rows = [], [], [], [], []
+    for k in range(I):
+        mi = mesh_of[k]
+        sl = slice(attr_base_mesh[mi], attr_base_mesh[mi + 1])
+        mask = pool_em_mask[sl]
+        if not mask.any():
+            continue
+        r3, t3 = mats3x4[k][:3, :3], mats3x4[k][:3, 3]
+        mv0, mv1, mv2 = mesh_v[mi]
+        ev0.append((mv0[mask] @ r3.T + t3).astype(np.float32))
+        ev1.append((mv1[mask] @ r3.T + t3).astype(np.float32))
+        ev2.append((mv2[mask] @ r3.T + t3).astype(np.float32))
+        eem.append(em[pool["mat"][sl][mask]])
+    cat = lambda xs, c: (np.concatenate(xs) if xs
+                         else np.zeros((0, c), np.float32))
+    lights = build_lights(
+        punctual, cat(ev0, 3), cat(ev1, 3), cat(ev2, 3), cat(eem, 3)
+    )
+    # world pmf of instance k's emissive tri = pool_w * area_scale[k] / W;
+    # W = total emissive world weight (same normalizer the alias table used)
+    if ev0:
+        e1w = cat(ev1, 3) - cat(ev0, 3)
+        e2w = cat(ev2, 3) - cat(ev0, 3)
+        w_area = 0.5 * np.linalg.norm(np.cross(e1w, e2w), axis=-1)
+        w_lum = (cat(eem, 3) * [0.2126, 0.7152, 0.0722]).sum(-1)
+        W = float((w_area * w_lum).sum())
+    else:
+        W = 0.0
+    pmf_scale = (area_scale / W if W > 0 else np.zeros(I)).astype(np.float32)
+
+    from ..utils.transfer import batched_device_put
+    from .sunsky import finalize_sunsky
+
+    sunsky = finalize_sunsky(
+        sunsky if sunsky is not None else default_sunsky()
+    )
+
+    inst = Instancing(
+        tri_base=tri_base.astype(np.int32),
+        attr_base=attr_base_mesh[mesh_of].astype(np.int32),
+        rot=rot.reshape(I, 9).astype(np.float32),
+        nrm_rot=nrm_rot.reshape(I, 9).astype(np.float32),
+        hand_flip=np.sign(det).astype(np.float32),
+        area_scale=area_scale.astype(np.float32),
+        uvd_scale=(1.0 / np.sqrt(np.maximum(area_scale, 1e-20))).astype(
+            np.float32
+        ),
+        pmf_scale=pmf_scale,
+    )
+    scene = SceneData(
+        bvh=build_instanced_bvh(mesh_v, instances),
+        tri_gn=pool["gn"],
+        tri_nrm=pool["nrm"],
+        tri_uv=pool["uv"],
+        tri_tangent=pool["tangent"],
+        tri_hand=pool["hand"],
+        tri_color=pool["color"],
+        tri_mat=pool["mat"],
+        tri_light_pmf=pool_w,
+        tri_light_area=pool["area"],
+        tri_uv_density=pool["uvd"],
+        materials=mat_table,
+        textures=make_tex_stack(textures),
+        lights=lights,
+        env=env,
+        sunsky=sunsky,
+        inst=inst,
     )
     return batched_device_put(scene)
 

@@ -1,5 +1,10 @@
 """4-ary (wide) BVH traversal vs brute-force oracle and the binary walk
 (ops/bvh_wide.py; VERDICT r2 #2 — wide walk must be a drop-in equal)."""
+import pytest
+
+# measured-loss alternative walk; verified in the nightly full run
+pytestmark = pytest.mark.slow
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -112,3 +117,4 @@ class TestWideTraversal:
         near = closest_hit_wide(wide, o, d, jnp.zeros(1), jnp.asarray([2.0]))
         far = closest_hit_wide(wide, o, d, jnp.zeros(1), jnp.asarray([10.0]))
         assert int(near.tri[0]) == -1 and int(far.tri[0]) == 0
+

@@ -46,6 +46,7 @@ def render_case(scene_key: str, cfg_kwargs: dict) -> np.ndarray:
 
 class TestGolden:
     @pytest.mark.parametrize("name", sorted(GOLDEN_CASES))
+    @pytest.mark.slow
     def test_golden(self, name):
         scene_key, cfg_kwargs = GOLDEN_CASES[name]
         path = os.path.join(GOLDEN, f"{name}.npy")
@@ -56,6 +57,7 @@ class TestGolden:
         err = np.abs(img - ref).mean()
         assert err < 0.02, f"golden drift ({name}): mean abs err {err:.4f}"
 
+    @pytest.mark.slow
     def test_cornell_structure(self):
         """Colour bleeding sanity independent of the stored golden:
         red left wall, green right wall."""

@@ -25,6 +25,7 @@ def setup():
 
 
 class TestShardedStep:
+    @pytest.mark.slow
     def test_matches_single_device(self, setup):
         cfg, scene, cam, params, tm = setup
         n = len(jax.devices())
@@ -47,6 +48,7 @@ class TestShardedStep:
         assert np.abs(a - b).max() < 5e-2, np.abs(a - b).max()
         assert np.abs(a - b).mean() < 2e-3
 
+    @pytest.mark.slow
     def test_state_stays_sharded(self, setup):
         cfg, scene, cam, params, tm = setup
         mesh = make_mesh()

@@ -51,6 +51,7 @@ def _truth(scene, cam, cfg_tr, spp, seed0=90001):
 
 
 class TestDirectStage:
+    @pytest.mark.slow
     def test_restir_di_matches_direct_truth(self):
         """ReSTIR DI (RIS only, no temporal) must estimate the same direct
         illumination as the NEE-only ground truth (SURVEY §4 golden check)."""
@@ -70,6 +71,30 @@ class TestDirectStage:
         m_p, m_t = float(img.mean()), float(truth.mean())
         assert abs(m_p - m_t) / max(m_p, m_t) < 0.12, (m_p, m_t)
 
+    @pytest.mark.slow
+    def test_visibility_reuse_matches_truth(self):
+        """shadow_cadence > 1 (tile-cadence visibility reuse, VERDICT r2
+        #3a) must stay within tolerance of the NEE ground truth on a static
+        camera — the bias of reusing reprojected winner visibility is
+        bounded by the cadence and the temporal gates."""
+        scene, cam = cornell_box()
+        cfg = RenderConfig(
+            width=W, height=H, max_depth=1, env_mode="sunsky",
+            restir_mode=RESTIR_TEMPORAL, denoise=False,
+            indirect_enabled=False, accumulate=False,
+            traversal_max_steps=1024, shadow_cadence=4,
+        )
+        img, _ = _pipeline_mean_hdr(scene, cam, cfg, frames=20)
+        cfg_tr = RenderConfig(
+            width=W, height=H, max_depth=1, env_mode="sunsky",
+            use_mis=False, use_nee=True, russian_roulette=False,
+            traversal_max_steps=1024,
+        )
+        truth = _truth(scene, cam, cfg_tr, spp=20)
+        m_p, m_t = float(img.mean()), float(truth.mean())
+        assert abs(m_p - m_t) / max(m_p, m_t) < 0.15, (m_p, m_t)
+
+    @pytest.mark.slow
     def test_temporal_reuse_accumulates_m(self):
         """Temporal merge must grow reservoir M across frames up to the clamp
         (ref direct_stage.comp:219-222)."""
@@ -91,6 +116,7 @@ class TestDirectStage:
         clamp = cfg.ris_sample_num * float(params.reservoir_clamp)
         assert float(jnp.max(state.di_resv["num"])) <= clamp + 1e-3
 
+    @pytest.mark.slow
     def test_variance_reduction_vs_ris(self):
         """Temporal ReSTIR must cut per-frame variance vs plain RIS
         (the whole point of the algorithm, ref README.md:109-111)."""
@@ -212,6 +238,7 @@ class TestSpatialReuse:
         )
 
     @pytest.mark.parametrize("mode_name", ["spatial", "spatiotemporal"])
+    @pytest.mark.slow
     def test_spatial_modes_unbiased(self, mode_name):
         from eidola_tpu.render.config import (
             RESTIR_SPATIAL, RESTIR_SPATIOTEMPORAL,
@@ -230,6 +257,7 @@ class TestSpatialReuse:
         m_p, m_t = float(img.mean()), float(truth.mean())
         assert abs(m_p - m_t) / max(m_p, m_t) < 0.12, (m_p, m_t)
 
+    @pytest.mark.slow
     def test_carry_is_pre_spatial(self):
         """The reservoir carried to the next frame must be the clamped
         PRE-spatial one (ref direct_stage.comp:221-222): its M never exceeds

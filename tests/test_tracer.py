@@ -29,6 +29,7 @@ def _render(scene, cam, cfg, params, spp, seed0=1):
 
 
 class TestFurnace:
+    @pytest.mark.slow
     def test_white_furnace(self):
         """Diffuse albedo-1 sphere in a constant L=1 environment must render
         ~1 (energy conservation of BSDF + MIS + NEE; SURVEY §4)."""
@@ -65,6 +66,7 @@ class TestFurnace:
 
 
 class TestEstimatorConsistency:
+    @pytest.mark.slow
     def test_nee_mis_matches_bsdf_only(self):
         """NEE+MIS and pure-BSDF-sampling are both unbiased for the cornell
         box -> their means must agree (cross-validation of light sampling,
@@ -81,6 +83,7 @@ class TestEstimatorConsistency:
         mb = float(img_b.mean())
         assert abs(ma - mb) / max(ma, mb) < 0.12, (ma, mb)
 
+    @pytest.mark.slow
     def test_nee_only_matches_mis(self):
         """NEE-only (BSDF-found emitters dropped) is also unbiased for
         area-light direct lighting at depth 1."""
