@@ -44,27 +44,52 @@ def main():
     # levels (BASELINE.md "algorithm constants").
     cfg = RenderConfig(width=W, height=H, max_depth=4, env_mode="sunsky")
     params, tm = default_params(), default_tonemap()
-    state = init_frame_state(cfg, cam)
 
-    step = jax.jit(lambda sc, c, p, t, st: render_frame(cfg, sc, c, p, t, st))
+    def measure(cfg):
+        state = init_frame_state(cfg, cam)
+        step = jax.jit(
+            lambda sc, c, p, t, st: render_frame(cfg, sc, c, p, t, st)
+        )
+        for _ in range(WARMUP):
+            state, out = step(scene, cam, params, tm, state)
+        jax.block_until_ready(out["image"])
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            state, out = step(scene, cam, params, tm, state)
+        jax.block_until_ready(out["image"])
+        return (time.perf_counter() - t0) / ITERS * 1e3
 
-    for _ in range(WARMUP):
-        state, out = step(scene, cam, params, tm, state)
-    jax.block_until_ready(out["image"])
+    ms = measure(cfg)
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        state, out = step(scene, cam, params, tm, state)
-    jax.block_until_ready(out["image"])
-    ms = (time.perf_counter() - t0) / ITERS * 1e3
-
-    print(json.dumps({
+    # rays issued per frame (attribution for round-over-round comparison):
+    # 1 primary + 1 DI shadow per pixel; GI at quarter pixel count traces
+    # 1 bsdf + per-bounce (NEE shadow + continuation) on the 1-bounce set
+    # plus (max_depth-1) deep bounces x 2 on the ~1/4 compacted tile set
+    n_pix = W * H
+    n_half = n_pix // 4
+    deep = (n_half // 4) * 2 * max(cfg.max_depth - 1, 0)
+    rays = n_pix * 2 + n_half * 3 + deep
+    result = {
         "metric": f"restir_di_gi_denoise_1080p_ms ({n_tris} tris, "
                   f"{jax.devices()[0].device_kind})",
         "value": round(ms, 2),
         "unit": "ms/frame",
         "vs_baseline": round(BASELINE_MS / ms, 4),
-    }))
+        "mrays_per_s": round(rays / ms / 1e3, 2),
+    }
+    if os.environ.get("EIDOLA_BENCH_BREAKDOWN"):
+        # per-stage attribution by ablation (extra full compiles — not run
+        # by the driver; set EIDOLA_BENCH_BREAKDOWN=1 locally)
+        no_dn = measure(cfg._replace(denoise=False))
+        di_only = measure(
+            cfg._replace(denoise=False, indirect_enabled=False)
+        )
+        result["breakdown_ms"] = {
+            "direct": round(di_only, 2),
+            "indirect": round(no_dn - di_only, 2),
+            "denoise_compose": round(ms - no_dn, 2),
+        }
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

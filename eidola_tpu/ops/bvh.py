@@ -57,9 +57,11 @@ CHUNK = int(os.environ.get("EIDOLA_CHUNK", "4096"))
 SUBW = int(os.environ.get("EIDOLA_SUBW", "128"))
 # drain variant: "flat" (default) or "skip" (measurement only: walk cost)
 DRAIN = os.environ.get("EIDOLA_DRAIN", "flat")
-# leaf intersection math: "cols" (unrolled per-triangle VPU loop) or
-# "matmul" (one batched MXU matmul per event chunk — see _mt_matmul)
-MT_MODE = os.environ.get("EIDOLA_MT", "cols")
+# leaf intersection math: "auto" (mxu on TPU, cols on CPU), "cols"
+# (unrolled per-triangle VPU loop), "mxu" (fused Pallas kernel,
+# ops/bvh_mxu.py — measured 80->74 ms primaries / 858->751 bounce), or
+# "matmul" (pure-XLA feature-space dots; measured LOSS, kept for record)
+MT_MODE = os.environ.get("EIDOLA_MT", "auto")
 MT_PREC = os.environ.get("EIDOLA_MT_PREC", "highest")
 _BIG = 1e30
 
@@ -242,6 +244,49 @@ def _mt_cols(col, n_tris: int, ox, oy, oz, dx, dy, dz, t_min, t_lim):
         u_b = jnp.where(h, uk, u_b)
         v_b = jnp.where(h, vk, v_b)
     return t_b, k_b, u_b, v_b
+
+
+def _mt_any_cols(col, n_tris, ox, oy, oz, dx, dy, dz, t_min, t_lim):
+    """Occlusion-only Moller-Trumbore: a sign-based boolean test with NO
+    divisions and NO best-hit tracking — any-hit queries only need "does
+    some triangle block [t_min, t_lim]" (ref traceray_rq.glsl:153-185
+    AnyHit terminates on first hit; blocker identity is never used).
+    Multiplying the barycentric/range tests through by det (resp. det^2,
+    positive) removes the divide:  u >= 0  <=>  u_num*det >= 0,  etc.
+    Returns a (..., ) bool per lane."""
+    hit_any = jnp.zeros(ox.shape, bool)
+    for k in range(n_tris):
+        b = k * 12
+        v0x, v0y, v0z = col(b), col(b + 1), col(b + 2)
+        e1x, e1y, e1z = col(b + 3), col(b + 4), col(b + 5)
+        e2x, e2y, e2z = col(b + 6), col(b + 7), col(b + 8)
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        tvx = ox - v0x
+        tvy = oy - v0y
+        tvz = oz - v0z
+        u_num = tvx * px + tvy * py + tvz * pz
+        qx = tvy * e1z - tvz * e1y
+        qy = tvz * e1x - tvx * e1z
+        qz = tvx * e1y - tvy * e1x
+        v_num = dx * qx + dy * qy + dz * qz
+        t_num = e2x * qx + e2y * qy + e2z * qz
+        det2 = det * det
+        ud = u_num * det
+        vd = v_num * det
+        td = t_num * det
+        h = (
+            (jnp.abs(det) > 1e-12)
+            & (ud >= 0.0)
+            & (vd >= 0.0)
+            & (ud + vd <= det2)
+            & (td > t_min * det2)
+            & (td < t_lim * det2)
+        )
+        hit_any = hit_any | h
+    return hit_any
 
 
 def _mt_matmul(row, n_tris, ox, oy, oz, dx, dy, dz, t_min, t_lim):
@@ -551,7 +596,55 @@ def _traverse(bvh, o, d, t_min, t_max, any_hit: bool, max_steps: int,
                     xc(8) * gdx + xc(9) * gdy + xc(10) * gdz,
                 )
 
-            if MT_MODE == "matmul" and SUBW == PACKET:
+            valid_d = expand_ev(valid.astype(jnp.int32)) > 0
+            if any_hit:
+                # occlusion events: boolean sign-based MT (no divides, no
+                # payload), segmented prefix-OR on ONE channel instead of
+                # the 4-channel prefix-min — blocker identity is never used
+                col = lambda i: expand_ev(row[:, i])
+                hit_e = _mt_any_cols(
+                    col, leaf_size, gox, goy, goz, gdx, gdy, gdz, gtmin, gtb,
+                ) & valid_d
+                sh = 1
+                while sh < CE:
+                    same = expand_ev(
+                        jnp.concatenate(
+                            [jnp.zeros(sh, bool), sp[sh:] == sp[:-sh]]
+                        ).astype(jnp.int32)
+                    ) > 0
+                    hit_e = hit_e | (same & shift_ev(hit_e, sh, False))
+                    sh *= 2
+                nxt_sp = jnp.concatenate(
+                    [sp[1:], jnp.full(1, -1, jnp.int32)]
+                )
+                nxt_valid = jnp.concatenate([valid[1:], jnp.zeros(1, bool)])
+                run_end = valid & ((sp != nxt_sp) | ~nxt_valid)
+                idx = jnp.where(run_end, sp, n_sp)   # n_sp = dropped
+                m_t = jnp.where(hit_e, -_BIG, gtb)
+                m_slot = jnp.where(hit_e, 0, g(tri_s))
+
+                def scat(best_s, m):
+                    out = best_s.at[idx].set(
+                        m.reshape(CE, SUBW), mode="drop"
+                    )
+                    return out.reshape(n_pkt, PACKET)
+
+                t_best = scat(tb_s, m_t)
+                tri_best = scat(tri_s, m_slot)
+                return ci + 1, t_best, tri_best, u_best, v_best
+
+            use_mxu = MT_MODE == "mxu" or (
+                MT_MODE == "auto" and jax.default_backend() != "cpu"
+            )
+            if use_mxu and SUBW == PACKET:
+                # fused Pallas kernel: MXU dot + in-VMEM epilogue/reduce
+                from .bvh_mxu import mt_mxu
+
+                t_e, k_e, u_e, v_e = mt_mxu(
+                    row, leaf_size,
+                    gox, goy, goz, gdx, gdy, gdz, gtmin, gtb,
+                )
+            elif MT_MODE == "matmul" and SUBW == PACKET:
                 t_e, k_e, u_e, v_e = _mt_matmul(
                     row, leaf_size,
                     gox, goy, goz, gdx, gdy, gdz, gtmin, gtb,
@@ -561,7 +654,6 @@ def _traverse(bvh, o, d, t_min, t_max, any_hit: bool, max_steps: int,
                 t_e, k_e, u_e, v_e = _mt_cols(
                     col, leaf_size, gox, goy, goz, gdx, gdy, gdz, gtmin, gtb,
                 )
-            valid_d = expand_ev(valid.astype(jnp.int32)) > 0
             t_e = jnp.where(valid_d, t_e, _BIG)
             slot_e = expand_ev(leaf) * leaf_size + k_e
 
@@ -647,6 +739,11 @@ def _traverse(bvh, o, d, t_min, t_max, any_hit: bool, max_steps: int,
         return a.reshape(n_pkt * PACKET)[:R]
 
     t, tri_slot, u, v = flat(t_best), flat(tri_slot), flat(u), flat(v)
+    if any_hit:
+        # occlusion drain records a sentinel slot 0 (blocker identity is
+        # never used); report tri 0 so `rec.tri >= 0` reads "occluded"
+        tri = jnp.where(tri_slot >= 0, 0, -1)
+        return HitRecord(tri=tri, t=t, u=u, v=v), tri_slot
     if inst is None:
         tri = jnp.where(
             tri_slot >= 0, bvh.prim_id[jnp.maximum(tri_slot, 0)], -1

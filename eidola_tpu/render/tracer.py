@@ -233,11 +233,10 @@ def trace_radiance(
 
     Returns (rng_state, radiance, PathVertex|None[, radiance_snapshot]).
     """
+    import jax
+
     depth_total = num_bounces if num_bounces is not None else cfg.max_depth
     shape = (start_state.valid.shape if start_state is not None else d.shape[:-1])
-    R = 1
-    for s in shape:
-        R *= s
 
     radiance = jnp.zeros(shape + (3,), jnp.float32)
     throughput = jnp.ones(shape + (3,), jnp.float32)
@@ -247,110 +246,105 @@ def trace_radiance(
     first_xs = jnp.zeros(shape + (3,), jnp.float32)
     first_ns = jnp.zeros(shape + (3,), jnp.float32)
     first_ok = jnp.zeros(shape, bool)
-    radiance_snap = radiance
 
-    state = start_state
-    wo = start_wo
-    cur_o, cur_d = o, d
-    pending_order = None  # wavefront order reused from the last NEE wave
-
-    for depth in range(depth_total + 1):
-        if depth == 0 and state is not None:
-            pass  # start from the provided surface
+    def accumulate(depth_gt_nee, radiance, throughput, alive, last_bsdf_pdf,
+                   cur_d, state, wo, tri, rec_t):
+        """Add the env/emitter contribution of the vertex just reached.
+        `depth_gt_nee` is a (possibly traced) bool scalar: does NEE at
+        earlier vertices already account for light found by this BSDF
+        segment (→ MIS-weight or drop it)?"""
+        escaped = alive & ~state.valid
+        env = env_radiance(cfg, scene, params, cur_d)
+        if cfg.use_nee and cfg.use_mis:
+            lp = env_pdf_dir(cfg, scene, cur_d) * env_selection_prob(
+                cfg, scene, params
+            )
+            w_env = jnp.where(
+                depth_gt_nee, power_heuristic(last_bsdf_pdf, lp), 1.0
+            )
+        elif cfg.use_nee:
+            # NEE-only estimator: drop BSDF-found light to avoid double count
+            w_env = jnp.where(depth_gt_nee, 0.0, 1.0)
         else:
-            primary = depth == 0 and start_state is None
-            if primary:
-                # camera rays: image tiles are already coherent packets
-                rng_state, rec = trace_closest(
-                    cfg, scene, cur_o, cur_d,
-                    jnp.full(shape, _TMIN), jnp.full(shape, _TMAX),
-                    rng_state, coherent=True,
-                )
-            else:
-                # bounce rays: sorted wavefront; terminated lanes cluster
-                # into dead packets (t_max < t_min) and retire in one step.
-                # The NEE shadow wave from the same surface already sorted
-                # these origins — reuse its order, skip a full sort.
-                rng_state, rec = trace_closest(
-                    cfg, scene, cur_o, cur_d,
-                    jnp.full(shape, _TMIN),
-                    jnp.where(alive, _TMAX, -1.0),
-                    rng_state, order=pending_order,
-                )
-            tri = rec.tri
-            rec_t = rec.t
-            state = get_state(scene, cur_o, cur_d, tri, rec_t, rec.u, rec.v)
-            wo = -cur_d
+            w_env = jnp.ones(shape, jnp.float32)
+        radiance = radiance + jnp.where(
+            escaped[..., None], throughput * env * w_env[..., None], 0.0
+        )
 
-            escaped = alive & ~state.valid
-            env = env_radiance(cfg, scene, params, cur_d)
-            if cfg.use_mis and cfg.use_nee and depth > nee_start_depth:
-                lp = env_pdf_dir(cfg, scene, cur_d) * env_selection_prob(
-                    cfg, scene, params
-                )
-                w_env = power_heuristic(last_bsdf_pdf, lp)
-            elif cfg.use_nee and depth > nee_start_depth:
-                # NEE-only estimator: drop BSDF-found light to avoid double count
-                w_env = jnp.zeros(shape, jnp.float32)
-            else:
-                w_env = jnp.ones(shape, jnp.float32)
-            radiance = radiance + jnp.where(
-                escaped[..., None], throughput * env * w_env[..., None], 0.0
+        # emitter hit (ref indirect_stage.comp:180-216)
+        hit_em = alive & state.valid
+        if cfg.use_nee and cfg.use_mis:
+            cos_l = jnp.abs(dot3(state.geo_nrm, wo))
+            lp = light_pdf_for_bsdf_dir(
+                cfg, scene, params, cur_d, tri, rec_t, cos_l
             )
-
-            # emitter hit (ref indirect_stage.comp:180-216)
-            hit_em = alive & state.valid
-            emission = state.emission
-            if cfg.use_mis and cfg.use_nee and depth > nee_start_depth:
-                cos_l = jnp.abs(dot3(state.geo_nrm, wo))
-                lp = light_pdf_for_bsdf_dir(
-                    cfg, scene, params, cur_d, tri, rec_t, cos_l
-                )
-                w_em = power_heuristic(last_bsdf_pdf, lp)
-            elif cfg.use_nee and depth > nee_start_depth:
-                # NEE-only: count emitter hits only for lights NEE can't find
-                from ..scene.data import shade_row as _srow
-
-                w_em = jnp.where(
-                    scene.tri_light_pmf[
-                        _srow(scene, jnp.maximum(tri, 0))[0]
-                    ] > 0.0,
-                    0.0, 1.0,
-                )
-            else:
-                w_em = jnp.ones(shape, jnp.float32)
-            radiance = radiance + jnp.where(
-                hit_em[..., None], throughput * emission * w_em[..., None], 0.0
+            w_em = jnp.where(
+                depth_gt_nee, power_heuristic(last_bsdf_pdf, lp), 1.0
             )
+        elif cfg.use_nee:
+            # NEE-only: count emitter hits only for lights NEE can't find
+            from ..scene.data import shade_row as _srow
 
-            if collect_first_vertex and depth == 1:
-                first_ok = state.valid & alive
-                first_xs = jnp.where(first_ok[..., None], state.pos, 0.0)
-                first_ns = jnp.where(first_ok[..., None], state.nrm, 0.0)
+            not_nee_light = jnp.where(
+                scene.tri_light_pmf[_srow(scene, jnp.maximum(tri, 0))[0]]
+                > 0.0,
+                0.0, 1.0,
+            )
+            w_em = jnp.where(depth_gt_nee, not_nee_light, 1.0)
+        else:
+            w_em = jnp.ones(shape, jnp.float32)
+        radiance = radiance + jnp.where(
+            hit_em[..., None],
+            throughput * state.emission * w_em[..., None], 0.0,
+        )
+        return radiance
 
-            if snapshot_after_depth is not None and depth == snapshot_after_depth:
-                radiance_snap = radiance
-                if kill_after_snapshot is not None:
-                    # tiled multi-bounce (ref indirect_stage.comp:39-45):
-                    # lanes whose deep contribution is scaled to zero stop
-                    # tracing here; sorted-dead clustering retires their
-                    # packets in one step.  Estimator-identical because the
-                    # caller only uses (L_sub - L_one) where the mask is on.
-                    alive = alive & kill_after_snapshot
+    # ---- depth 0 (peeled: coherent primaries / the provided surface) ----
+    if start_state is not None:
+        state, wo = start_state, start_wo
+    else:
+        # camera rays: image tiles are already coherent packets
+        rng_state, rec = trace_closest(
+            cfg, scene, o, d,
+            jnp.full(shape, _TMIN), jnp.full(shape, _TMAX),
+            rng_state, coherent=True,
+        )
+        state = get_state(scene, o, d, rec.tri, rec.t, rec.u, rec.v)
+        wo = -d
+        radiance = accumulate(
+            0 > nee_start_depth, radiance, throughput, alive, last_bsdf_pdf,
+            d, state, wo, rec.tri, rec.t,
+        )
+        alive = alive & state.valid
+    radiance_snap = radiance
+    if snapshot_after_depth == 0 and kill_after_snapshot is not None:
+        alive = alive & kill_after_snapshot
 
-            alive = alive & state.valid
+    # ---- bounces 1..depth_total: ONE scanned body (the traversal+shade
+    # graph is traced/compiled once instead of once per depth — full-frame
+    # XLA compiles at max_depth 4 shrink ~3x; runtime is unchanged since
+    # every iteration ran the same ops anyway).  Depth-dependent estimator
+    # weights become scalar-gated selects on the scanned depth index; RNG
+    # draws are unconditional in the body, so streams shift vs the old
+    # unrolled code for configs with rr/nee start depths > 0 (goldens
+    # regenerated).
+    def body(carry, k):
+        (rng_state, radiance, radiance_snap, throughput, alive,
+         last_bsdf_pdf, state, wo, first_xs, first_ns, first_ok) = carry
 
-        if depth == depth_total:
-            break
-
-        # NEE at this vertex (ref indirect_stage.comp:143-153)
-        if cfg.use_nee and depth >= nee_start_depth:
-            rng_state, contrib, pending_order = nee_contribution(
-                cfg, scene, params, state, wo, rng_state, active=alive,
+        # NEE at the current vertex, depth k-1 (ref indirect_stage.comp:143-153)
+        order = None
+        if cfg.use_nee:
+            nee_on = (
+                alive if nee_start_depth <= 0
+                else alive & (k - 1 >= nee_start_depth)
+            )
+            rng_state, contrib, order = nee_contribution(
+                cfg, scene, params, state, wo, rng_state, active=nee_on,
                 want_order=True,
             )
             radiance = radiance + jnp.where(
-                alive[..., None], throughput * contrib, 0.0
+                nee_on[..., None], throughput * contrib, 0.0
             )
 
         # BSDF sample to continue (ref pbr_metallicworkflow Sample)
@@ -364,28 +358,91 @@ def trace_radiance(
         cos_i = jnp.maximum(wi_l[..., 2], 0.0)
         ok = alive & (pdf > 1e-9) & (cos_i > 0.0)
         throughput = jnp.where(
-            ok[..., None], throughput * f * (cos_i / jnp.maximum(pdf, 1e-9))[..., None], throughput
+            ok[..., None],
+            throughput * f * (cos_i / jnp.maximum(pdf, 1e-9))[..., None],
+            throughput,
         )
         alive = ok
         last_bsdf_pdf = pdf
 
-        # Russian roulette (ref indirect_stage.comp:218-224)
-        if cfg.russian_roulette and depth >= cfg.rr_depth:
+        # Russian roulette from rr_depth (ref indirect_stage.comp:218-224)
+        if cfg.russian_roulette:
             rng_state, u_rr = erng.rand(rng_state)
-            p_cont = jnp.clip(jnp.max(throughput, axis=-1), 0.05, 1.0)
+            rr_on = k - 1 >= cfg.rr_depth
+            p_cont = jnp.where(
+                rr_on, jnp.clip(jnp.max(throughput, axis=-1), 0.05, 1.0), 1.0
+            )
             survive = u_rr < p_cont
             throughput = jnp.where(
-                (alive & survive)[..., None], throughput / p_cont[..., None], throughput
+                (alive & survive)[..., None],
+                throughput / p_cont[..., None], throughput,
             )
             alive = alive & survive
 
+        # trace segment k: sorted wavefront; terminated lanes cluster into
+        # dead packets (t_max < t_min) and retire in one step.  The NEE
+        # shadow wave from this surface already sorted these origins —
+        # reuse its order, skip a full sort.
         cur_o = offset_ray(
             state.pos,
-            jnp.where(dot3(state.geo_nrm, wi)[..., None] >= 0, state.geo_nrm, -state.geo_nrm),
+            jnp.where(
+                dot3(state.geo_nrm, wi)[..., None] >= 0,
+                state.geo_nrm, -state.geo_nrm,
+            ),
         )
         cur_d = wi
+        rng_state, rec = trace_closest(
+            cfg, scene, cur_o, cur_d,
+            jnp.full(shape, _TMIN), jnp.where(alive, _TMAX, -1.0),
+            rng_state, order=order,
+        )
+        state = get_state(
+            scene, cur_o, cur_d, rec.tri, rec.t, rec.u, rec.v
+        )
+        wo = -cur_d
+        radiance = accumulate(
+            (k > nee_start_depth) if nee_start_depth > 0 else True,
+            radiance, throughput, alive, last_bsdf_pdf,
+            cur_d, state, wo, rec.tri, rec.t,
+        )
 
-    vert = PathVertex(xs=first_xs, ns=first_ns, valid=first_ok) if collect_first_vertex else None
+        if collect_first_vertex:
+            is1 = k == 1
+            ok1 = state.valid & alive
+            first_ok = jnp.where(is1, ok1, first_ok)
+            first_xs = jnp.where(
+                is1, jnp.where(ok1[..., None], state.pos, 0.0), first_xs
+            )
+            first_ns = jnp.where(
+                is1, jnp.where(ok1[..., None], state.nrm, 0.0), first_ns
+            )
+
+        if snapshot_after_depth is not None and snapshot_after_depth >= 1:
+            is_snap = k == snapshot_after_depth
+            radiance_snap = jnp.where(is_snap, radiance, radiance_snap)
+            if kill_after_snapshot is not None:
+                # tiled multi-bounce (ref indirect_stage.comp:39-45):
+                # lanes whose deep contribution is scaled to zero stop
+                # tracing here; sorted-dead clustering retires their
+                # packets in one step.  Estimator-identical because the
+                # caller only uses (L_sub - L_one) where the mask is on.
+                alive = alive & (~is_snap | kill_after_snapshot)
+
+        alive = alive & state.valid
+        return (rng_state, radiance, radiance_snap, throughput, alive,
+                last_bsdf_pdf, state, wo, first_xs, first_ns, first_ok), None
+
+    carry = (rng_state, radiance, radiance_snap, throughput, alive,
+             last_bsdf_pdf, state, wo, first_xs, first_ns, first_ok)
+    if depth_total >= 1:
+        carry, _ = jax.lax.scan(
+            body, carry, jnp.arange(1, depth_total + 1, dtype=jnp.int32)
+        )
+    (rng_state, radiance, radiance_snap, _, _, _, _, _,
+     first_xs, first_ns, first_ok) = carry
+
+    vert = (PathVertex(xs=first_xs, ns=first_ns, valid=first_ok)
+            if collect_first_vertex else None)
     if snapshot_after_depth is not None:
         return rng_state, radiance, vert, radiance_snap
     return rng_state, radiance, vert
