@@ -605,8 +605,12 @@ def _traverse(bvh, o, d, t_min, t_max, any_hit: bool, max_steps: int,
                 hit_e = _mt_any_cols(
                     col, leaf_size, gox, goy, goz, gdx, gdy, gdz, gtmin, gtb,
                 ) & valid_d
+                # run length within a chunk is bounded by the queue depth
+                # (cnt[sp] <= QUEUE events per sub-packet), so scan passes
+                # beyond sh=QUEUE/2 can never match a same-segment pair —
+                # 12 doubling passes at CHUNK=4096 collapse to 5 exact ones
                 sh = 1
-                while sh < CE:
+                while sh < min(CE, QUEUE):
                     same = expand_ev(
                         jnp.concatenate(
                             [jnp.zeros(sh, bool), sp[sh:] == sp[:-sh]]
@@ -657,9 +661,10 @@ def _traverse(bvh, o, d, t_min, t_max, any_hit: bool, max_steps: int,
             t_e = jnp.where(valid_d, t_e, _BIG)
             slot_e = expand_ev(leaf) * leaf_size + k_e
 
-            # segmented prefix-min by sub-packet id (events are sp-major)
+            # segmented prefix-min by sub-packet id (events are sp-major;
+            # run length <= QUEUE bounds the scan passes — see any_hit fold)
             sh = 1
-            while sh < CE:
+            while sh < min(CE, QUEUE):
                 same = expand_ev(
                     jnp.concatenate(
                         [jnp.zeros(sh, bool), sp[sh:] == sp[:-sh]]
