@@ -58,10 +58,19 @@ SUBW = int(os.environ.get("EIDOLA_SUBW", "128"))
 # drain variant: "flat" (default) or "skip" (measurement only: walk cost)
 DRAIN = os.environ.get("EIDOLA_DRAIN", "flat")
 # leaf intersection math: "auto" (mxu on TPU, cols on CPU), "cols"
-# (unrolled per-triangle VPU loop), "mxu" (fused Pallas kernel,
-# ops/bvh_mxu.py — measured 80->74 ms primaries / 858->751 bounce), or
-# "matmul" (pure-XLA feature-space dots; measured LOSS, kept for record)
+# (unrolled per-triangle VPU loop), "mxu" (Pallas MXU kernel over
+# per-event coefficient tensors, ops/bvh_mxu.py — 80->74 ms primaries /
+# 858->751 bounce), "fused" (ops/bvh_fused.py: static per-leaf
+# coefficient table DMA'd by leaf id + in-kernel segmented fold;
+# opt-in until measured), or "matmul" (pure-XLA feature-space dots;
+# measured LOSS, kept for record)
 MT_MODE = os.environ.get("EIDOLA_MT", "auto")
+
+
+def _fused_mt_active() -> bool:
+    """Whether closest-hit drains use the fused table kernel (and BVH
+    builds must therefore precompute the per-leaf coefficient tables)."""
+    return MT_MODE == "fused"
 MT_PREC = os.environ.get("EIDOLA_MT_PREC", "highest")
 _BIG = 1e30
 
@@ -71,6 +80,10 @@ class BVH(NamedTuple):
     leaf_blocks: jnp.ndarray  # (L, leaf_size*12) f32: (v0, e1, e2, pad) per tri
     prim_id: jnp.ndarray      # (L*leaf_size,) i32 original triangle id (-1 = pad)
     n_tris: jnp.ndarray       # () i32 true triangle count
+    # static MT coefficient tables for the fused drain (EIDOLA_MT=fused;
+    # ops/bvh_fused.py) — None unless that mode was active at build time
+    leaf_cmat: jnp.ndarray | None = None    # (L, KDIM, 4*leaf_size) f32
+    leaf_anchor: jnp.ndarray | None = None  # (L, 3) f32
 
     @property
     def leaf_size(self) -> int:
@@ -184,12 +197,22 @@ def build_bvh(
     walk[:, 6] = escape.astype(np.int32).view(np.float32)
     walk[:, 7] = blk.astype(np.int32).view(np.float32)
 
+    blocks2 = blocks.reshape(n_leaves, leaf_size * 12)
+    leaf_cmat = leaf_anchor = None
+    if _fused_mt_active():
+        from .bvh_fused import build_leaf_tables_np
+
+        leaf_cmat, leaf_anchor = build_leaf_tables_np(blocks2, leaf_size)
+
     conv = (lambda x: x) if as_numpy else jnp.asarray
+    copt = lambda x: None if x is None else conv(x)
     return BVH(
         walk=conv(walk),
-        leaf_blocks=conv(blocks.reshape(n_leaves, leaf_size * 12)),
+        leaf_blocks=conv(blocks2),
         prim_id=conv(prim_id),
         n_tris=conv(np.int32(T)) if as_numpy else jnp.asarray(T, jnp.int32),
+        leaf_cmat=copt(leaf_cmat),
+        leaf_anchor=copt(leaf_anchor),
     )
 
 
@@ -564,10 +587,21 @@ def _traverse(bvh, o, d, t_min, t_max, any_hit: bool, max_steps: int,
             sp = jnp.clip(sp, 0, n_sp - 1)
             j = jnp.clip(s - offsets[sp], 0, QUEUE - 1)
             leaf = queue[sp, j]                      # (CE,)
+            use_fused = (
+                (not any_hit)
+                and _fused_mt_active()
+                and SUBW == PACKET
+                and CE % 16 == 0
+                and getattr(bvh, "leaf_cmat", None) is not None
+            )
             if inst is None:
-                row = leaf_rows[leaf]                # (CE, leaf_size*12)
+                dma_row = leaf
+                if not use_fused:
+                    row = leaf_rows[leaf]            # (CE, leaf_size*12)
             else:
-                row = leaf_rows[inst.leaf_mesh_row[leaf]]
+                dma_row = inst.leaf_mesh_row[leaf]
+                if not use_fused:
+                    row = leaf_rows[dma_row]
                 xf = inst.inst_inv[inst.leaf_inst[leaf]]   # (CE, 12)
 
             def g(a):
@@ -635,6 +669,43 @@ def _traverse(bvh, o, d, t_min, t_max, any_hit: bool, max_steps: int,
 
                 t_best = scat(tb_s, m_t)
                 tri_best = scat(tri_s, m_slot)
+                return ci + 1, t_best, tri_best, u_best, v_best
+
+            if use_fused:
+                # fused table drain: coefficient blocks DMA'd by leaf id,
+                # per-sub-packet fold runs in-kernel — t_e/slot_e/u_e/v_e
+                # are already per-row PREFIX folds, so the XLA scan below
+                # is skipped (run-end scatter consumes them unchanged)
+                from .bvh_fused import mt_fused
+
+                anchor_row = bvh.leaf_anchor[dma_row]          # (CE, 3)
+                t_e, slot_e, u_e, v_e = mt_fused(
+                    bvh.leaf_cmat, anchor_row, dma_row, leaf, sp,
+                    valid.astype(jnp.int32),
+                    gox, goy, goz, gdx, gdy, gdz, gtmin, gtb, leaf_size,
+                )
+                nxt_sp = jnp.concatenate(
+                    [sp[1:], jnp.full(1, -1, jnp.int32)]
+                )
+                nxt_valid = jnp.concatenate([valid[1:], jnp.zeros(1, bool)])
+                run_end = valid & ((sp != nxt_sp) | ~nxt_valid)
+                idx = jnp.where(run_end, sp, n_sp)   # n_sp = dropped
+                improved = t_e < gtb
+                m_t = jnp.where(improved, t_e, gtb)
+                m_slot = jnp.where(improved, slot_e, g(tri_s))
+                m_u = jnp.where(improved, u_e, g(us_))
+                m_v = jnp.where(improved, v_e, g(vs_))
+
+                def scat_f(best_s, m):
+                    out = best_s.at[idx].set(
+                        m.reshape(CE, SUBW), mode="drop"
+                    )
+                    return out.reshape(n_pkt, PACKET)
+
+                t_best = scat_f(tb_s, m_t)
+                tri_best = scat_f(tri_s, m_slot)
+                u_best = scat_f(us_, m_u)
+                v_best = scat_f(vs_, m_v)
                 return ci + 1, t_best, tri_best, u_best, v_best
 
             use_mxu = MT_MODE == "mxu" or (

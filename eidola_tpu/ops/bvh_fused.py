@@ -1,0 +1,236 @@
+"""Fused MXU leaf drain: per-leaf Moller-Trumbore coefficient blocks are
+DMA'd HBM->VMEM by leaf id and the segmented per-sub-packet fold runs
+INSIDE the kernel — the round-3 follow-up to ops/bvh_mxu.py.
+
+Why (measured traffic model, docs/PERF_NOTES.md): with ops/bvh_mxu.py the
+drain still materializes per-EVENT tensors in HBM every chunk — the
+gathered leaf rows (CE, n*12), the built coefficient matrices
+(CE, 4n, K) and feature stacks (CE, K, 128) the kernel then re-reads —
+and runs a 5-pass segmented prefix-min scan over (CE, 128) x 4 channels
+in XLA.  All of that is removable:
+
+- The MT coefficient matrix of a leaf depends ONLY on its triangles, so
+  it is built ONCE at BVH build time (host, numpy) as a static
+  (L, K, 4n) table.  The kernel double-buffers 16 KB blocks of it
+  straight HBM->VMEM by (scalar-prefetched) leaf id: per event the chip
+  reads the coefficients exactly once and writes nothing.
+- The feature stack [o', d, o'xd, 1] is assembled in VMEM from the
+  already-gathered per-event ray rows.
+- The TPU grid is sequential, so the per-sub-packet fold is a running
+  carry in VMEM scratch: each event merges its (4n x 16) @ (16 x 128)
+  MXU result into the carry (reset at segment starts, seeded with the
+  carried-in best t so the MT test also prunes against it), and the
+  output rows hold the per-row prefix fold — exactly what the XLA scan
+  produced, so the caller's run-end scatter is unchanged and the scan is
+  deleted.
+
+Replaces the leaf-intersection half of shaders/traceray_rq.glsl:108-147;
+ops/bvh._mt_cols stays the portable oracle (EIDOLA_MT=cols) and
+ops/bvh_mxu.py the previous default (EIDOLA_MT=mxu) for A/B.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 1e30
+EB = 16      # events per grid step (matches ops/bvh_mxu.py's optimum)
+KDIM = 16    # feature rows (10 used, padded for sublane tiling)
+
+
+def build_leaf_tables_np(blocks: np.ndarray, leaf_size: int):
+    """Static per-leaf MT coefficient table, built once at load time.
+
+    blocks: (L, n*12) f32 leaf rows of (v0, e1, e2, pad) per triangle.
+    Returns (cmT (L, KDIM, 4n) f32, anchor (L, 3) f32) where cmT.T rows
+    are [det | t_num | u_num | v_num] blocks over the features
+    [o'(3), d(3), o'xd(3), 1, 0...], o' = o - anchor (leaf-local
+    recentring for f32 conditioning).  Feature order MUST match the
+    kernel's in-VMEM stack and ops/bvh_mxu.build_cmat."""
+    L = blocks.shape[0]
+    n = leaf_size
+    tri = blocks.reshape(L, n, 12).astype(np.float32)
+    v0 = tri[:, :, 0:3]
+    e1 = tri[:, :, 3:6]
+    e2 = tri[:, :, 6:9]
+    anchor = np.ascontiguousarray(v0[:, 0, :])
+    v0c = v0 - anchor[:, None, :]
+    nvec = np.cross(e1, e2)
+    const_t = -np.sum(v0c * nvec, -1, keepdims=True)
+    z3 = np.zeros_like(nvec)
+    z1 = np.zeros_like(const_t)
+    pad = np.zeros((L, n, KDIM - 10), np.float32)
+    c_det = np.concatenate([z3, -nvec, z3, z1, pad], -1)
+    c_t = np.concatenate([nvec, z3, z3, const_t, pad], -1)
+    c_u = np.concatenate([z3, np.cross(v0c, e2), e2, z1, pad], -1)
+    c_v = np.concatenate([z3, np.cross(e1, v0c), -e1, z1, pad], -1)
+    cmat = np.stack([c_det, c_t, c_u, c_v], 1).reshape(L, 4 * n, KDIM)
+    cmT = np.ascontiguousarray(
+        cmat.transpose(0, 2, 1), dtype=np.float32
+    )  # (L, K, 4n): minor dim 4n is lane-aligned for n >= 32
+    return cmT, anchor.astype(np.float32)
+
+
+def _kernel(n, row_ref, leaf_ref, sp_ref, valid_ref, cm_hbm,
+            opx, opy, opz, dxr, dyr, dzr, tmin_ref, tlim_ref,
+            t_out, s_out, u_out, v_out,
+            cm_buf, sems, c_t, c_s, c_u, c_v, seg):
+    i = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+
+    def dma(slot, step, e):
+        return pltpu.make_async_copy(
+            cm_hbm.at[row_ref[step * EB + e]],
+            cm_buf.at[slot, e],
+            sems.at[slot, e],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        for e in range(EB):
+            dma(0, 0, e).start()
+        seg[0] = jnp.int32(-1)
+
+    slot = jax.lax.rem(i, 2)
+
+    @pl.when(i + 1 < nsteps)
+    def _():
+        nslot = jax.lax.rem(i + 1, 2)
+        for e in range(EB):
+            dma(nslot, i + 1, e).start()
+
+    for e in range(EB):
+        dma(slot, i, e).wait()
+        idx = i * EB + e
+        cmT = cm_buf[slot, e]                        # (K, 4n)
+        ox_, oy_, oz_ = opx[e:e + 1], opy[e:e + 1], opz[e:e + 1]
+        dx_, dy_, dz_ = dxr[e:e + 1], dyr[e:e + 1], dzr[e:e + 1]
+        cx = oy_ * dz_ - oz_ * dy_
+        cy = oz_ * dx_ - ox_ * dz_
+        cz = ox_ * dy_ - oy_ * dx_
+        one = jnp.ones_like(ox_)
+        zero = jnp.zeros_like(ox_)
+        fe = jnp.concatenate(
+            [ox_, oy_, oz_, dx_, dy_, dz_, cx, cy, cz, one]
+            + [zero] * (KDIM - 10),
+            axis=0,
+        )                                            # (K, 128)
+        out = jax.lax.dot_general(
+            cmT, fe, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                            # (4n, 128)
+        det = out[0 * n:1 * n]
+        tn = out[1 * n:2 * n]
+        un = out[2 * n:3 * n]
+        vn = out[3 * n:4 * n]
+
+        sp_e = sp_ref[idx]
+        val = valid_ref[idx] != 0
+        prev = seg[0]
+        is_new = val & (sp_e != prev)
+        tlim = tlim_ref[e:e + 1, :]
+        # segment carry: reset to the carried-in best at segment starts
+        # (which also tightens the MT bound as the fold proceeds)
+        base_t = jnp.where(is_new, tlim, c_t[:])
+        base_s = jnp.where(is_new, 0, c_s[:])
+        base_u = jnp.where(is_new, 0.0, c_u[:])
+        base_v = jnp.where(is_new, 0.0, c_v[:])
+
+        inv = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+        t = tn * inv
+        u = un * inv
+        v = vn * inv
+        tmin = tmin_ref[e:e + 1, :]
+        # `t <= base_t` (not < tlim): equivalent hits, and ties against
+        # in-chunk earlier events resolve later-wins like the XLA scan
+        hit = (
+            (jnp.abs(det) > 1e-12)
+            & (u >= 0.0)
+            & (v >= 0.0)
+            & (u + v <= 1.0)
+            & (t > tmin)
+            & (t <= base_t)
+            & val
+        )
+        tm = jnp.where(hit, t, _BIG)
+        tb = jnp.min(tm, axis=0, keepdims=True)      # (1, 128)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (n, 128), 0)
+        kb = jnp.min(jnp.where(tm <= tb, iota, n), axis=0, keepdims=True)
+        onehot = iota == kb
+        ub = jnp.sum(jnp.where(onehot, u, 0.0), axis=0, keepdims=True)
+        vb = jnp.sum(jnp.where(onehot, v, 0.0), axis=0, keepdims=True)
+        slot_vec = leaf_ref[idx] * n + kb            # global padded slot
+
+        better = tb <= base_t                        # per-lane (1, 128)
+        new_t = jnp.where(better, tb, base_t)
+        new_s = jnp.where(better, slot_vec, base_s)
+        new_u = jnp.where(better, ub, base_u)
+        new_v = jnp.where(better, vb, base_v)
+        c_t[:] = new_t
+        c_s[:] = new_s
+        c_u[:] = new_u
+        c_v[:] = new_v
+        t_out[e:e + 1, :] = new_t
+        s_out[e:e + 1, :] = new_s
+        u_out[e:e + 1, :] = new_u
+        v_out[e:e + 1, :] = new_v
+        seg[0] = jnp.where(val, sp_e, prev)
+
+
+def mt_fused(cm_tab, anchor_row, dma_row, gleaf, sp, valid,
+             gox, goy, goz, gdx, gdy, gdz, gtmin, gtb, n_tris: int):
+    """Per-chunk fused drain.  cm_tab: (L, KDIM, 4n) static table;
+    anchor_row: (CE, 3) gathered anchors; dma_row/gleaf/sp/valid: (CE,)
+    i32 (DMA row, global leaf id, sub-packet id, validity); rays/bounds:
+    (CE, 128) with rays in the leaf's intersection space.  Returns
+    per-row PREFIX-FOLDED (t, global slot, u, v) — run-end rows hold each
+    sub-packet's chunk best, exactly like the XLA scan's output."""
+    ce = gox.shape[0]
+    lanes = gox.shape[1]
+    assert ce % EB == 0, ce
+    assert cm_tab.shape[1] == KDIM and cm_tab.shape[2] == 4 * n_tris
+
+    # leaf-local recentring fuses into the existing ray gathers
+    opx = gox - anchor_row[:, 0:1]
+    opy = goy - anchor_row[:, 1:2]
+    opz = goz - anchor_row[:, 2:3]
+
+    import functools
+
+    bs = lambda: pl.BlockSpec(
+        (EB, lanes), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(ce // EB,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [bs() for _ in range(8)],
+        out_specs=[bs() for _ in range(4)],
+        scratch_shapes=[
+            pltpu.VMEM((2, EB, KDIM, 4 * n_tris), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, EB)),
+            pltpu.VMEM((1, lanes), jnp.float32),
+            pltpu.VMEM((1, lanes), jnp.int32),
+            pltpu.VMEM((1, lanes), jnp.float32),
+            pltpu.VMEM((1, lanes), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((ce, lanes), jnp.float32),
+        jax.ShapeDtypeStruct((ce, lanes), jnp.int32),
+        jax.ShapeDtypeStruct((ce, lanes), jnp.float32),
+        jax.ShapeDtypeStruct((ce, lanes), jnp.float32),
+    ]
+    return pl.pallas_call(
+        functools.partial(_kernel, n_tris),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=jax.default_backend() == "cpu",
+    )(
+        dma_row.astype(jnp.int32), gleaf.astype(jnp.int32),
+        sp.astype(jnp.int32), valid.astype(jnp.int32),
+        cm_tab, opx, opy, opz, gdx, gdy, gdz, gtmin, gtb,
+    )

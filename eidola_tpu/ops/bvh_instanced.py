@@ -63,6 +63,10 @@ class InstancedBVH(NamedTuple):
     inst_inv: jnp.ndarray       # (I, 12) f32 world->object 3x4 (row-major)
     inst_tri_base: jnp.ndarray  # (I,) i32 global tri base per instance
     n_tris: jnp.ndarray         # () i32 total instanced triangles
+    # static MT coefficient tables over the shared OBJECT-space leaf pool
+    # (fused drain, ops/bvh_fused.py) — None unless EIDOLA_MT=fused
+    leaf_cmat: jnp.ndarray | None = None    # (Lm, KDIM, 4*leaf_size) f32
+    leaf_anchor: jnp.ndarray | None = None  # (Lm, 3) f32
 
     @property
     def leaf_size(self) -> int:
@@ -256,6 +260,18 @@ def build_instanced_bvh(
         [_invert_affine(m).reshape(12) for m in mats]
     ).astype(np.float32)
 
+    from .bvh import _fused_mt_active
+
+    leaf_cmat = leaf_anchor = None
+    if _fused_mt_active():
+        from .bvh_fused import build_leaf_tables_np
+
+        leaf_cmat, leaf_anchor = build_leaf_tables_np(
+            leaf_blocks, leaf_size_eff
+        )
+        leaf_cmat = jnp.asarray(leaf_cmat)
+        leaf_anchor = jnp.asarray(leaf_anchor)
+
     return InstancedBVH(
         walk=jnp.asarray(walk),
         leaf_mesh_row=jnp.asarray(np.concatenate(leaf_mesh_row_parts)),
@@ -265,4 +281,6 @@ def build_instanced_bvh(
         inst_inv=jnp.asarray(inst_inv),
         inst_tri_base=jnp.asarray(inst_tri_base.astype(np.int32)),
         n_tris=jnp.asarray(n_tris_total, jnp.int32),
+        leaf_cmat=leaf_cmat,
+        leaf_anchor=leaf_anchor,
     )
