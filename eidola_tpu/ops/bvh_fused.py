@@ -36,8 +36,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 _BIG = 1e30
-EB = 16      # events per grid step (matches ops/bvh_mxu.py's optimum)
+# events per grid step (ops/bvh_mxu.py measured 16 optimal; env-tunable
+# for A/B since the fused kernel's per-step DMA/compute balance differs)
+EB = int(os.environ.get("EIDOLA_FEB", "16"))
 KDIM = 16    # feature rows (10 used, padded for sublane tiling)
 
 

@@ -71,6 +71,12 @@ class TestFusedDrain:
     def test_matches_cols_medium(self):
         self._cols_vs_fused(700, 1024, seed=12)
 
+    def test_matches_cols_multichunk(self):
+        # 4096 rays = 32 sub-packets x up to QUEUE events > CHUNK(256):
+        # drains span multiple chunks, exercising the run-split-at-chunk-
+        # boundary scatter merge and the kernel's per-call seg reset
+        self._cols_vs_fused(900, 4096, seed=13)
+
     def test_instanced_matches_flat(self, fused_mode):
         from eidola_tpu.ops.bvh_instanced import (
             build_instanced_bvh, closest_hit_instanced,
