@@ -37,6 +37,8 @@ TILE_W = 16
 # primaries): its per-step (8,8) scalar work can't amortize like the
 # megavector walk, kept for future iteration
 _TRAV = os.environ.get("EIDOLA_TRAV", "xla")
+# wavefront sort-key layout (see ray_sort_keys): o21d3 | d3o21 | o15d6
+_KEY = os.environ.get("EIDOLA_KEY", "o21d3")
 
 
 def _is_wide(bvh) -> bool:
@@ -158,12 +160,21 @@ def _expand_bits_u32(v):
 
 
 def ray_sort_keys(bvh: BVH, o, d, dead):
-    """u32 sort key: dead(1) | origin 7-bit-per-axis Morton(21) | octant(3).
+    """u32 sort key ordering rays into coherent 128-lane packets.
 
-    Origin cells come from the root AABB (bvh.walk row 0, or the union of
-    the wide root row's child boxes), so nearby origins share top-of-tree
+    Default layout: dead(1) | origin 7-bit-per-axis Morton(21) | octant(3)
+    — origin cells from the root AABB (bvh.walk row 0, or the union of the
+    wide root row's child boxes) so nearby origins share top-of-tree
     traversal; the octant separates opposing directions whose slab
-    intervals disagree."""
+    intervals disagree.
+
+    EIDOLA_KEY selects measurable alternatives (perf-only — any
+    permutation is correct).  The drain toll is the PACKET union of leaf
+    visits, which grows with BOTH origin spread and direction spread;
+    these trade origin bits for direction bits:
+      o21d3 (default)  21 origin bits above 3 direction bits
+      d3o21            octant ABOVE origin: packets never mix octants
+      o15d6            5 bits/axis origin, then 2 bits/axis direction"""
     if _is_wide(bvh):
         boxes = bvh.walk4[0, 0:24].reshape(4, 6)
         present = boxes[:, 0] <= boxes[:, 3]
@@ -174,18 +185,29 @@ def ray_sort_keys(bvh: BVH, o, d, dead):
         bmin, bmax = root[0:3], root[3:6]
     ext = jnp.maximum(bmax - bmin, 1e-6)
     p = jnp.clip((o - bmin) / ext, 0.0, 1.0)
-    q = jnp.clip(p * 128.0, 0.0, 127.0).astype(jnp.uint32)
-    m = (
-        (_expand_bits_u32(q[..., 0]) << 2)
-        | (_expand_bits_u32(q[..., 1]) << 1)
-        | _expand_bits_u32(q[..., 2])
-    )
     octant = (
         ((d[..., 0] < 0).astype(jnp.uint32) << 2)
         | ((d[..., 1] < 0).astype(jnp.uint32) << 1)
         | (d[..., 2] < 0).astype(jnp.uint32)
     )
-    return (dead.astype(jnp.uint32) << 30) | (m << 3) | octant
+    dead_u = dead.astype(jnp.uint32) << 30
+
+    def morton(bits: int):
+        q = jnp.clip(p * float(1 << bits), 0.0, float((1 << bits) - 1))
+        q = q.astype(jnp.uint32)
+        return (
+            (_expand_bits_u32(q[..., 0]) << 2)
+            | (_expand_bits_u32(q[..., 1]) << 1)
+            | _expand_bits_u32(q[..., 2])
+        )
+
+    if _KEY == "d3o21":
+        return dead_u | (octant << 21) | morton(7)
+    if _KEY == "o15d6":
+        dq = jnp.clip((d + 1.0) * 2.0, 0.0, 3.0).astype(jnp.uint32)
+        d6 = (dq[..., 0] << 4) | (dq[..., 1] << 2) | dq[..., 2]
+        return dead_u | (morton(5) << 6) | d6
+    return dead_u | (morton(7) << 3) | octant
 
 
 def make_ray_order(bvh: BVH, o, d, dead):
