@@ -587,11 +587,12 @@ def _traverse(bvh, o, d, t_min, t_max, any_hit: bool, max_steps: int,
             sp = jnp.clip(sp, 0, n_sp - 1)
             j = jnp.clip(s - offsets[sp], 0, QUEUE - 1)
             leaf = queue[sp, j]                      # (CE,)
+            from .bvh_fused import EB as _FEB
+
             use_fused = (
-                (not any_hit)
-                and _fused_mt_active()
+                _fused_mt_active()
                 and SUBW == PACKET
-                and CE % 16 == 0
+                and CE % _FEB == 0
                 and getattr(bvh, "leaf_cmat", None) is not None
             )
             if inst is None:
@@ -635,23 +636,36 @@ def _traverse(bvh, o, d, t_min, t_max, any_hit: bool, max_steps: int,
                 # occlusion events: boolean sign-based MT (no divides, no
                 # payload), segmented prefix-OR on ONE channel instead of
                 # the 4-channel prefix-min — blocker identity is never used
-                col = lambda i: expand_ev(row[:, i])
-                hit_e = _mt_any_cols(
-                    col, leaf_size, gox, goy, goz, gdx, gdy, gdz, gtmin, gtb,
-                ) & valid_d
-                # run length within a chunk is bounded by the queue depth
-                # (cnt[sp] <= QUEUE events per sub-packet), so scan passes
-                # beyond sh=QUEUE/2 can never match a same-segment pair —
-                # 12 doubling passes at CHUNK=4096 collapse to 5 exact ones
-                sh = 1
-                while sh < min(CE, QUEUE):
-                    same = expand_ev(
-                        jnp.concatenate(
-                            [jnp.zeros(sh, bool), sp[sh:] == sp[:-sh]]
-                        ).astype(jnp.int32)
+                if use_fused:
+                    from .bvh_fused import mt_any_fused
+
+                    anchor_row = bvh.leaf_anchor[dma_row]      # (CE, 3)
+                    hit_e = mt_any_fused(
+                        bvh.leaf_cmat, anchor_row, dma_row, sp,
+                        valid.astype(jnp.int32),
+                        gox, goy, goz, gdx, gdy, gdz, gtmin, gtb,
+                        leaf_size,
                     ) > 0
-                    hit_e = hit_e | (same & shift_ev(hit_e, sh, False))
-                    sh *= 2
+                else:
+                    col = lambda i: expand_ev(row[:, i])
+                    hit_e = _mt_any_cols(
+                        col, leaf_size,
+                        gox, goy, goz, gdx, gdy, gdz, gtmin, gtb,
+                    ) & valid_d
+                    # run length within a chunk is bounded by the queue
+                    # depth (cnt[sp] <= QUEUE events per sub-packet), so
+                    # scan passes beyond sh=QUEUE/2 can never match a
+                    # same-segment pair — 12 doubling passes at CHUNK=4096
+                    # collapse to 5 exact ones
+                    sh = 1
+                    while sh < min(CE, QUEUE):
+                        same = expand_ev(
+                            jnp.concatenate(
+                                [jnp.zeros(sh, bool), sp[sh:] == sp[:-sh]]
+                            ).astype(jnp.int32)
+                        ) > 0
+                        hit_e = hit_e | (same & shift_ev(hit_e, sh, False))
+                        sh *= 2
                 nxt_sp = jnp.concatenate(
                     [sp[1:], jnp.full(1, -1, jnp.int32)]
                 )

@@ -184,6 +184,130 @@ def _kernel(n, row_ref, leaf_ref, sp_ref, valid_ref, cm_hbm,
         seg[0] = jnp.where(val, sp_e, prev)
 
 
+def _kernel_any(n, row_ref, sp_ref, valid_ref, cm_hbm,
+                opx, opy, opz, dxr, dyr, dzr, tmin_ref, tlim_ref,
+                h_out, cm_buf, sems, c_h, seg):
+    """Occlusion variant: sign-based boolean MT (no divides — tests
+    multiplied through by det/det^2 like ops/bvh._mt_any_cols) with a
+    1-channel prefix-OR carry."""
+    i = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+
+    def dma(slot, step, e):
+        return pltpu.make_async_copy(
+            cm_hbm.at[row_ref[step * EB + e]],
+            cm_buf.at[slot, e],
+            sems.at[slot, e],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        for e in range(EB):
+            dma(0, 0, e).start()
+        seg[0] = jnp.int32(-1)
+
+    slot = jax.lax.rem(i, 2)
+
+    @pl.when(i + 1 < nsteps)
+    def _():
+        nslot = jax.lax.rem(i + 1, 2)
+        for e in range(EB):
+            dma(nslot, i + 1, e).start()
+
+    for e in range(EB):
+        dma(slot, i, e).wait()
+        idx = i * EB + e
+        cmT = cm_buf[slot, e]                        # (K, 4n)
+        ox_, oy_, oz_ = opx[e:e + 1], opy[e:e + 1], opz[e:e + 1]
+        dx_, dy_, dz_ = dxr[e:e + 1], dyr[e:e + 1], dzr[e:e + 1]
+        cx = oy_ * dz_ - oz_ * dy_
+        cy = oz_ * dx_ - ox_ * dz_
+        cz = ox_ * dy_ - oy_ * dx_
+        one = jnp.ones_like(ox_)
+        zero = jnp.zeros_like(ox_)
+        fe = jnp.concatenate(
+            [ox_, oy_, oz_, dx_, dy_, dz_, cx, cy, cz, one]
+            + [zero] * (KDIM - 10),
+            axis=0,
+        )
+        out = jax.lax.dot_general(
+            cmT, fe, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        det = out[0 * n:1 * n]
+        tn = out[1 * n:2 * n]
+        un = out[2 * n:3 * n]
+        vn = out[3 * n:4 * n]
+
+        sp_e = sp_ref[idx]
+        val = valid_ref[idx] != 0
+        prev = seg[0]
+        is_new = val & (sp_e != prev)
+        base_h = jnp.where(is_new, 0, c_h[:])
+
+        det2 = det * det
+        ud = un * det
+        vd = vn * det
+        td = tn * det
+        tmin = tmin_ref[e:e + 1, :]
+        tlim = tlim_ref[e:e + 1, :]
+        h = (
+            (jnp.abs(det) > 1e-12)
+            & (ud >= 0.0)
+            & (vd >= 0.0)
+            & (ud + vd <= det2)
+            & (td > tmin * det2)
+            & (td < tlim * det2)
+            & val
+        )
+        hit = jnp.max(h.astype(jnp.int32), axis=0, keepdims=True)  # (1,128)
+        new_h = base_h | hit
+        c_h[:] = new_h
+        h_out[e:e + 1, :] = new_h
+        seg[0] = jnp.where(val, sp_e, prev)
+
+
+def mt_any_fused(cm_tab, anchor_row, dma_row, sp, valid,
+                 gox, goy, goz, gdx, gdy, gdz, gtmin, gtb, n_tris: int):
+    """Occlusion drain: returns per-row PREFIX-OR'd hit flags (CE, 128)
+    i32 — run-end rows hold each sub-packet's chunk OR."""
+    ce = gox.shape[0]
+    lanes = gox.shape[1]
+    assert ce % EB == 0, ce
+    opx = gox - anchor_row[:, 0:1]
+    opy = goy - anchor_row[:, 1:2]
+    opz = goz - anchor_row[:, 2:3]
+
+    import functools
+
+    bs = lambda: pl.BlockSpec(
+        (EB, lanes), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(ce // EB,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [bs() for _ in range(8)],
+        out_specs=[bs()],
+        scratch_shapes=[
+            pltpu.VMEM((2, EB, KDIM, 4 * n_tris), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, EB)),
+            pltpu.VMEM((1, lanes), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+    )
+    (h,) = pl.pallas_call(
+        functools.partial(_kernel_any, n_tris),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((ce, lanes), jnp.int32)],
+        interpret=jax.default_backend() == "cpu",
+    )(
+        dma_row.astype(jnp.int32), sp.astype(jnp.int32),
+        valid.astype(jnp.int32),
+        cm_tab, opx, opy, opz, gdx, gdy, gdz, gtmin, gtb,
+    )
+    return h
+
+
 def mt_fused(cm_tab, anchor_row, dma_row, gleaf, sp, valid,
              gox, goy, goz, gdx, gdy, gdz, gtmin, gtb, n_tris: int):
     """Per-chunk fused drain.  cm_tab: (L, KDIM, 4n) static table;

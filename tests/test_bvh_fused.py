@@ -68,9 +68,31 @@ class TestFusedDrain:
     def test_matches_cols_small(self):
         self._cols_vs_fused(40, 256, seed=11, spread=0.8, size=0.5)
 
+    def test_any_hit_matches_cols(self):
+        from eidola_tpu.ops.bvh import any_hit
+
+        v0, v1, v2 = _random_tris(60, seed=31, spread=0.8, size=0.5)
+        o, d = _random_rays(256, seed=32)
+        old = B.MT_MODE
+        try:
+            B.MT_MODE = "cols"
+            occ_c = np.asarray(
+                any_hit(build_bvh(v0, v1, v2), o, d, 1e-4, 1e30)
+            )
+            B.MT_MODE = "fused"
+            occ_f = np.asarray(
+                any_hit(build_bvh(v0, v1, v2), o, d, 1e-4, 1e30)
+            )
+        finally:
+            B.MT_MODE = old
+        assert occ_c.sum() > 20
+        np.testing.assert_array_equal(occ_c, occ_f)
+
+    @pytest.mark.slow
     def test_matches_cols_medium(self):
         self._cols_vs_fused(700, 1024, seed=12)
 
+    @pytest.mark.slow
     def test_matches_cols_multichunk(self):
         # 4096 rays = 32 sub-packets x up to QUEUE events > CHUNK(256):
         # drains span multiple chunks, exercising the run-split-at-chunk-
