@@ -151,9 +151,13 @@ class TestDirectStage:
 class TestFramePipeline:
     def test_full_pipeline_runs_finite(self):
         scene, cam = cornell_box()
+        # every stage on (DI+GI+denoise+compose+post) but compile-lean:
+        # depth 2 + single denoise levels — this was the fast suite's
+        # single largest XLA:CPU compile (138 s at depth 3 / full levels)
         cfg = RenderConfig(
-            width=W, height=H, max_depth=3, env_mode="sunsky",
+            width=W, height=H, max_depth=2, env_mode="sunsky",
             traversal_max_steps=1024,
+            denoise_direct_levels=1, denoise_indirect_levels=1,
         )
         params, tm = default_params(), default_tonemap()
         state = init_frame_state(cfg, cam)
