@@ -63,18 +63,26 @@ def build_leaf_tables_np(blocks: np.ndarray, leaf_size: int):
     anchor = np.ascontiguousarray(v0[:, 0, :])
     v0c = v0 - anchor[:, None, :]
     nvec = np.cross(e1, e2)
-    const_t = -np.sum(v0c * nvec, -1, keepdims=True)
-    z3 = np.zeros_like(nvec)
-    z1 = np.zeros_like(const_t)
-    pad = np.zeros((L, n, KDIM - 10), np.float32)
-    c_det = np.concatenate([z3, -nvec, z3, z1, pad], -1)
-    c_t = np.concatenate([nvec, z3, z3, const_t, pad], -1)
-    c_u = np.concatenate([z3, np.cross(v0c, e2), e2, z1, pad], -1)
-    c_v = np.concatenate([z3, np.cross(e1, v0c), -e1, z1, pad], -1)
-    cmat = np.stack([c_det, c_t, c_u, c_v], 1).reshape(L, 4 * n, KDIM)
-    cmT = np.ascontiguousarray(
-        cmat.transpose(0, 2, 1), dtype=np.float32
-    )  # (L, K, 4n): minor dim 4n is lane-aligned for n >= 32
+    const_t = -np.sum(v0c * nvec, -1)
+
+    # fill the final (L, K, 4n) layout directly — building the (L, 4n, K)
+    # intermediate via concatenate/stack/transpose copies ~9 GB at Bistro
+    # scale (measured minutes on one core); this writes each coefficient
+    # block once.  Column blocks along 4n: [det | t_num | u_num | v_num].
+    cmT = np.zeros((L, KDIM, 4 * n), np.float32)
+    b = cmT.reshape(L, KDIM, 4, n)
+
+    def put(rows, block, val):
+        # val: (L, n, 3) -> rows (feature slots) x block column
+        b[:, rows:rows + 3, block, :] = val.transpose(0, 2, 1)
+
+    put(3, 0, -nvec)                 # det  = -n . d
+    put(0, 1, nvec)                  # t    =  n . o' + const
+    b[:, 9, 1, :] = const_t
+    put(3, 2, np.cross(v0c, e2))     # u    = (v0c x e2) . d + e2 . (o'xd)
+    put(6, 2, e2)
+    put(3, 3, np.cross(e1, v0c))     # v    = (e1 x v0c) . d - e1 . (o'xd)
+    put(6, 3, -e1)
     return cmT, anchor.astype(np.float32)
 
 
