@@ -30,13 +30,14 @@ ops/bvh_mxu.py the previous default (EIDOLA_MT=mxu) for A/B.
 """
 from __future__ import annotations
 
+import functools
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-import os
 
 _BIG = 1e30
 # events per grid step (ops/bvh_mxu.py measured 16 optimal; env-tunable
@@ -286,8 +287,6 @@ def mt_any_fused(cm_tab, anchor_row, dma_row, sp, valid,
     opy = goy - anchor_row[:, 1:2]
     opz = goz - anchor_row[:, 2:3]
 
-    import functools
-
     bs = lambda: pl.BlockSpec(
         (EB, lanes), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
     )
@@ -333,8 +332,6 @@ def mt_fused(cm_tab, anchor_row, dma_row, gleaf, sp, valid,
     opx = gox - anchor_row[:, 0:1]
     opy = goy - anchor_row[:, 1:2]
     opz = goz - anchor_row[:, 2:3]
-
-    import functools
 
     bs = lambda: pl.BlockSpec(
         (EB, lanes), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
