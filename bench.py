@@ -19,6 +19,10 @@ import time
 
 import jax
 
+from eidola_tpu.utils.platform import enable_compile_cache
+
+enable_compile_cache()  # repeat bench runs reuse multi-minute TPU compiles
+
 BASELINE_MS = 18.2  # reference total frame, Bistro Exterior 1080p (BASELINE.md)
 W, H = 1920, 1080
 WARMUP = 2

@@ -9,6 +9,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 import jax.numpy as jnp
 
+from eidola_tpu.utils.platform import enable_compile_cache
+
+enable_compile_cache()  # A/B reruns skip multi-minute tunnel compiles
+
 
 def time_cfg(scene, cam, cfg, iters=4, warmup=2):
     from eidola_tpu.render.config import default_params, default_tonemap

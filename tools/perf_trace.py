@@ -12,6 +12,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from eidola_tpu.utils.platform import enable_compile_cache
+
+enable_compile_cache()  # A/B reruns skip multi-minute tunnel compiles
+
 
 def timeit(f, *args, iters=5, warmup=2):
     for _ in range(warmup):
