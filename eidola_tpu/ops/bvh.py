@@ -65,6 +65,11 @@ DRAIN = os.environ.get("EIDOLA_DRAIN", "flat")
 # opt-in until measured), or "matmul" (pure-XLA feature-space dots;
 # measured LOSS, kept for record)
 MT_MODE = os.environ.get("EIDOLA_MT", "auto")
+# octant-ordered walk tables (ops/bvh_oct.py): near-child-first descent by
+# ray-direction octant.  "1" builds the 8 per-octant threadings (8x walk
+# HBM) and walks the majority-octant table per packet; opt-in until
+# TPU-measured against the default build order.
+OCT_ORDER = os.environ.get("EIDOLA_OCT", "0") == "1"
 
 
 def _fused_mt_active() -> bool:
@@ -84,6 +89,10 @@ class BVH(NamedTuple):
     # ops/bvh_fused.py) — None unless that mode was active at build time
     leaf_cmat: jnp.ndarray | None = None    # (L, KDIM, 4*leaf_size) f32
     leaf_anchor: jnp.ndarray | None = None  # (L, 3) f32
+    # octant-ordered walk threadings (EIDOLA_OCT=1, ops/bvh_oct.py):
+    # (8*N, 8) — table o*N.. is the near-child-first preorder for rays in
+    # direction octant o; None keeps the single build-order walk
+    walk_oct: jnp.ndarray | None = None
 
     @property
     def leaf_size(self) -> int:
@@ -121,6 +130,7 @@ def build_bvh(
     v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     leaf_size: int | None = None,
     as_numpy: bool = False,
+    octant: bool | None = None,
 ) -> BVH:
     """Build the threaded BVH on the host (load-time, like the reference's
     one-shot FAST_TRACE BLAS build, accelstruct.cpp:55-65): binned-SAH
@@ -204,6 +214,12 @@ def build_bvh(
 
         leaf_cmat, leaf_anchor = build_leaf_tables_np(blocks2, leaf_size)
 
+    walk_oct = None
+    if octant if octant is not None else OCT_ORDER:
+        from .bvh_oct import build_octant_tables
+
+        walk_oct = build_octant_tables(walk)
+
     conv = (lambda x: x) if as_numpy else jnp.asarray
     copt = lambda x: None if x is None else conv(x)
     return BVH(
@@ -213,6 +229,7 @@ def build_bvh(
         n_tris=conv(np.int32(T)) if as_numpy else jnp.asarray(T, jnp.int32),
         leaf_cmat=copt(leaf_cmat),
         leaf_anchor=copt(leaf_anchor),
+        walk_oct=copt(walk_oct),
     )
 
 
@@ -415,7 +432,7 @@ def _mt_block(row, ox, oy, oz, dx, dy, dz, t_min, t_lim):
 
 
 def _traverse(bvh, o, d, t_min, t_max, any_hit: bool, max_steps: int,
-              inst=None):
+              inst=None, with_stats: bool = False):
     """Packet traversal core.  o, d: (R, 3); t_min/t_max: (R,).
 
     WALK: 128 coherent rays share one node cursor; the packet advances when
@@ -468,22 +485,36 @@ def _traverse(bvh, o, d, t_min, t_max, any_hit: bool, max_steps: int,
 
     ix, iy, iz = inv(dx), inv(dy), inv(dz)
 
+    # octant-ordered threading: pick ONE per-octant walk table per packet by
+    # majority direction sign (ops/bvh_oct.py); same gather shape per step
+    walk_tab = getattr(bvh, "walk_oct", None)
+    if walk_tab is not None:
+        n_nodes_w = bvh.walk.shape[0]
+        half_p = PACKET // 2
+        oct_base = n_nodes_w * (
+            (jnp.sum(dx < 0.0, axis=1) > half_p).astype(jnp.int32)
+            + 2 * (jnp.sum(dy < 0.0, axis=1) > half_p).astype(jnp.int32)
+            + 4 * (jnp.sum(dz < 0.0, axis=1) > half_p).astype(jnp.int32)
+        )
+
     G = max(PACKET // SUBW, 1)
     n_sp = n_pkt * G
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (n_sp, QUEUE), 1)
 
     def walk_rounds(carry):
-        (node, t_best, tri_best, u_best, v_best, queue, cnt, step) = carry
-
         def w_cond(c):
             node, cnt, step = c[0], c[6], c[7]
             return jnp.any(node >= 0) & jnp.all(cnt < QUEUE) & (step < max_steps)
 
         def w_body(c):
-            node, t_best, tri_best, u_best, v_best, queue, cnt, step = c
+            (node, t_best, tri_best, u_best, v_best, queue, cnt, step,
+             ev_total, chunks) = c
             live = node >= 0
             nid = jnp.maximum(node, 0)
-            row = bvh.walk[nid]                       # ONE gather: (n_pkt, 8)
+            if walk_tab is not None:
+                row = walk_tab[oct_base + nid]        # ONE gather: (n_pkt, 8)
+            else:
+                row = bvh.walk[nid]                   # ONE gather: (n_pkt, 8)
             col = lambda i: row[:, i : i + 1]
             tx0 = (col(0) - ox) * ix
             tx1 = (col(3) - ox) * ix
@@ -522,12 +553,9 @@ def _traverse(bvh, o, d, t_min, t_max, any_hit: bool, max_steps: int,
             nxt = jnp.where(pkt_hit & ~is_leaf, nid + 1, miss)
             node = jnp.where(live, nxt, node)
             return (node, t_best, tri_best, u_best, v_best, queue, cnt,
-                    step + 1)
+                    step + 1, ev_total, chunks)
 
-        return jax.lax.while_loop(
-            w_cond, w_body,
-            (node, t_best, tri_best, u_best, v_best, queue, cnt, step),
-        )
+        return jax.lax.while_loop(w_cond, w_body, carry)
 
     leaf_size = bvh.leaf_size
     leaf_rows = bvh.leaf_blocks
@@ -561,12 +589,16 @@ def _traverse(bvh, o, d, t_min, t_max, any_hit: bool, max_steps: int,
     def drain_skip(carry):
         """Measurement-only mode (EIDOLA_DRAIN=skip): drop queued events
         without intersecting — isolates walk cost.  WRONG results."""
-        node, t_best, tri_best, u_best, v_best, queue, cnt, step = carry
+        (node, t_best, tri_best, u_best, v_best, queue, cnt, step,
+         ev_total, chunks) = carry
+        ev_total = ev_total + jnp.sum(cnt)
         cnt = jnp.zeros_like(cnt)
-        return (node, t_best, tri_best, u_best, v_best, queue, cnt, step)
+        return (node, t_best, tri_best, u_best, v_best, queue, cnt, step,
+                ev_total, chunks)
 
     def drain_flat(carry):
-        node, t_best, tri_best, u_best, v_best, queue, cnt, step = carry
+        (node, t_best, tri_best, u_best, v_best, queue, cnt, step,
+         ev_total, chunks) = carry
         offsets = jnp.concatenate(
             [jnp.zeros(1, jnp.int32), jnp.cumsum(cnt, dtype=jnp.int32)]
         )
@@ -792,15 +824,18 @@ def _traverse(bvh, o, d, t_min, t_max, any_hit: bool, max_steps: int,
             v_best = scat(vs_, m_v)
             return ci + 1, t_best, tri_best, u_best, v_best
 
-        _, t_best, tri_best, u_best, v_best = jax.lax.while_loop(
+        ci, t_best, tri_best, u_best, v_best = jax.lax.while_loop(
             d_cond, d_body,
             (jnp.int32(0), t_best, tri_best, u_best, v_best),
         )
         if any_hit:
             # resolved rays retire from the slab test entirely
             t_best = jnp.where(tri_best >= 0, -_BIG, t_best)
+        ev_total = ev_total + total
+        chunks = chunks + ci
         cnt = jnp.zeros_like(cnt)
-        return (node, t_best, tri_best, u_best, v_best, queue, cnt, step)
+        return (node, t_best, tri_best, u_best, v_best, queue, cnt, step,
+                ev_total, chunks)
 
     drain = drain_skip if DRAIN == "skip" else drain_flat
 
@@ -813,6 +848,8 @@ def _traverse(bvh, o, d, t_min, t_max, any_hit: bool, max_steps: int,
         jnp.zeros((n_sp, QUEUE), jnp.int32),             # sub-packet queues
         jnp.zeros(n_sp, jnp.int32),                      # queue counts
         jnp.int32(0),                                    # step budget
+        jnp.int32(0),                                    # stats: total events
+        jnp.int32(0),                                    # stats: drain chunks
     )
 
     def o_cond(carry):
@@ -824,16 +861,23 @@ def _traverse(bvh, o, d, t_min, t_max, any_hit: bool, max_steps: int,
 
     out = jax.lax.while_loop(o_cond, o_body, init)
     t_best, tri_slot, u, v = out[1], out[2], out[3], out[4]
+    stats = (
+        {"events": out[8], "chunks": out[9], "steps": out[7]}
+        if with_stats else None
+    )
 
     def flat(a):
         return a.reshape(n_pkt * PACKET)[:R]
+
+    def ret(rec, tri_slot):
+        return (rec, tri_slot, stats) if with_stats else (rec, tri_slot)
 
     t, tri_slot, u, v = flat(t_best), flat(tri_slot), flat(u), flat(v)
     if any_hit:
         # occlusion drain records a sentinel slot 0 (blocker identity is
         # never used); report tri 0 so `rec.tri >= 0` reads "occluded"
         tri = jnp.where(tri_slot >= 0, 0, -1)
-        return HitRecord(tri=tri, t=t, u=u, v=v), tri_slot
+        return ret(HitRecord(tri=tri, t=t, u=u, v=v), tri_slot)
     if inst is None:
         tri = jnp.where(
             tri_slot >= 0, bvh.prim_id[jnp.maximum(tri_slot, 0)], -1
@@ -847,7 +891,7 @@ def _traverse(bvh, o, d, t_min, t_max, any_hit: bool, max_steps: int,
         base = inst.inst_tri_base[inst.leaf_inst[leaf_g]]
         tri = jnp.where((tri_slot >= 0) & (p >= 0), p + base, -1)
     t = jnp.where(tri >= 0, jnp.abs(t), _BIG)
-    return HitRecord(tri=tri, t=t, u=u, v=v), tri_slot
+    return ret(HitRecord(tri=tri, t=t, u=u, v=v), tri_slot)
 
 
 
@@ -865,3 +909,28 @@ def any_hit(bvh: BVH, o, d, t_min, t_max, max_steps: int = 100_000):
     packet's slab test)."""
     rec, _ = _traverse(bvh, o, d, t_min, t_max, any_hit=True, max_steps=max_steps)
     return rec.tri >= 0
+
+
+def closest_hit_stats(bvh, o, d, t_min, t_max, max_steps: int = 100_000,
+                      inst=None):
+    """closest_hit + traversal-cost counters {events, chunks, steps}.
+
+    Leaf EVENTS are the platform-independent drain-cost driver (drain work
+    = events x 128 lanes x leaf_size MT, ~92% of traversal on TPU), so A/B
+    runs of build/order/sort-key variants can rank on CPU before paying a
+    TPU measurement (tools/perf_events.py)."""
+    rec, _, stats = _traverse(
+        bvh, o, d, t_min, t_max, any_hit=False, max_steps=max_steps,
+        inst=inst, with_stats=True,
+    )
+    return rec, stats
+
+
+def any_hit_stats(bvh, o, d, t_min, t_max, max_steps: int = 100_000,
+                  inst=None):
+    """any_hit + traversal-cost counters (see closest_hit_stats)."""
+    rec, _, stats = _traverse(
+        bvh, o, d, t_min, t_max, any_hit=True, max_steps=max_steps,
+        inst=inst, with_stats=True,
+    )
+    return rec.tri >= 0, stats

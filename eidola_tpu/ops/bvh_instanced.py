@@ -67,6 +67,10 @@ class InstancedBVH(NamedTuple):
     # (fused drain, ops/bvh_fused.py) — None unless EIDOLA_MT=fused
     leaf_cmat: jnp.ndarray | None = None    # (Lm, KDIM, 4*leaf_size) f32
     leaf_anchor: jnp.ndarray | None = None  # (Lm, 3) f32
+    # octant-ordered threadings of the grafted walk (EIDOLA_OCT=1,
+    # ops/bvh_oct.py) — escape-link topology is all the reorder needs, so
+    # the same builder covers the instanced walk
+    walk_oct: jnp.ndarray | None = None
 
     @property
     def leaf_size(self) -> int:
@@ -260,7 +264,7 @@ def build_instanced_bvh(
         [_invert_affine(m).reshape(12) for m in mats]
     ).astype(np.float32)
 
-    from .bvh import _fused_mt_active
+    from .bvh import OCT_ORDER, _fused_mt_active
 
     leaf_cmat = leaf_anchor = None
     if _fused_mt_active():
@@ -271,6 +275,12 @@ def build_instanced_bvh(
         )
         leaf_cmat = jnp.asarray(leaf_cmat)
         leaf_anchor = jnp.asarray(leaf_anchor)
+
+    walk_oct = None
+    if OCT_ORDER:
+        from .bvh_oct import build_octant_tables
+
+        walk_oct = jnp.asarray(build_octant_tables(walk))
 
     return InstancedBVH(
         walk=jnp.asarray(walk),
@@ -283,4 +293,5 @@ def build_instanced_bvh(
         n_tris=jnp.asarray(n_tris_total, jnp.int32),
         leaf_cmat=leaf_cmat,
         leaf_anchor=leaf_anchor,
+        walk_oct=walk_oct,
     )

@@ -190,3 +190,62 @@ class TestOrderReuse:
             np.asarray(a.t)[np.asarray(a.tri) >= 0],
             np.asarray(b.t)[np.asarray(b.tri) >= 0], rtol=1e-6,
         )
+
+
+class TestOctantOrder:
+    """Octant-ordered walk tables (EIDOLA_OCT / build_bvh(octant=True),
+    ops/bvh_oct.py): near-child-first descent must change only VISIT ORDER
+    — hits identical to the build-order walk up to exact-t ties."""
+
+    def test_octant_matches_default(self):
+        from eidola_tpu.ops.bvh import closest_hit_stats
+
+        a, b, c = _random_tris(600, seed=11)
+        bvh = build_bvh(a, b, c, octant=False)
+        bvho = build_bvh(a, b, c, octant=True)
+        n_nodes = bvh.walk.shape[0]
+        assert bvho.walk_oct.shape == (8 * n_nodes, 8)
+        # octant 0 (all-positive) is the build order itself
+        np.testing.assert_array_equal(
+            np.asarray(bvho.walk_oct[:n_nodes]), np.asarray(bvh.walk)
+        )
+
+        o, d = _random_rays(1024, seed=12)
+        tmin = jnp.zeros(1024)
+        tmax = jnp.full(1024, 1e9)
+        r0 = closest_hit(bvh, o, d, tmin, tmax)
+        r1, stats = closest_hit_stats(bvho, o, d, tmin, tmax)
+        hits = np.asarray(r0.tri) >= 0
+        np.testing.assert_array_equal(np.asarray(r1.tri) >= 0, hits)
+        np.testing.assert_allclose(
+            np.asarray(r1.t)[hits], np.asarray(r0.t)[hits], rtol=1e-5
+        )
+        assert int(stats["events"]) > 0 and int(stats["steps"]) > 0
+
+    def test_octant_tables_preserve_tree(self):
+        """Every octant table must hold the same node multiset (same boxes
+        and leaf ids, reordered) and in-range escape links."""
+        from eidola_tpu.ops.bvh_oct import build_octant_tables
+
+        a, b, c = _random_tris(300, seed=13)
+        bvh = build_bvh(a, b, c, as_numpy=True)
+        tabs = build_octant_tables(bvh.walk).reshape(8, -1, 8)
+        n = bvh.walk.shape[0]
+        base = np.sort(bvh.walk[:, 7].view(np.int32))
+        for o in range(8):
+            leaf = tabs[o, :, 7].view(np.int32)
+            np.testing.assert_array_equal(np.sort(leaf), base)
+            esc = tabs[o, :, 6].view(np.int32)
+            assert ((esc >= -1) & (esc <= n)).all()
+
+    def test_octant_any_hit_matches(self):
+        a, b, c = _random_tris(400, seed=14)
+        bvh = build_bvh(a, b, c, octant=False)
+        bvho = build_bvh(a, b, c, octant=True)
+        o, d = _random_rays(512, seed=15)
+        tmin = jnp.zeros(512)
+        tmax = jnp.full(512, 1e9)
+        np.testing.assert_array_equal(
+            np.asarray(any_hit(bvh, o, d, tmin, tmax)),
+            np.asarray(any_hit(bvho, o, d, tmin, tmax)),
+        )
