@@ -83,6 +83,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--shadow-cadence", type=int, default=1,
                    help="DI shadow visibility-reuse cadence (1 = validate "
                         "every frame; N = 1/N of tiles per frame)")
+    p.add_argument("--primary-seed", action="store_true",
+                   help="seed primary t_max by re-testing last frame's hit "
+                        "triangle per pixel (exact; flattened scenes only)")
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -124,6 +127,7 @@ def run(argv=None) -> dict:
         tonemap_kind={"uncharted2": 0, "hejl": 1, "aces": 2}[args.tonemap],
         texture_mips=not args.no_texture_mips,
         shadow_cadence=args.shadow_cadence,
+        primary_seed=args.primary_seed,
     )
     params, tm = default_params(), default_tonemap()
     import jax.numpy as jnp

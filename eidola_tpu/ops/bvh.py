@@ -93,6 +93,10 @@ class BVH(NamedTuple):
     # (8*N, 8) — table o*N.. is the near-child-first preorder for rays in
     # direction octant o; None keeps the single build-order walk
     walk_oct: jnp.ndarray | None = None
+    # inverse of prim_id: original triangle id -> padded leaf slot, for
+    # seeding a traversal's t_max by re-testing a PREDICTED triangle (e.g.
+    # last frame's hit at the same pixel, render/direct.py primary_seed)
+    slot_of_tri: jnp.ndarray | None = None  # (T,) i32
 
     @property
     def leaf_size(self) -> int:
@@ -220,6 +224,10 @@ def build_bvh(
 
         walk_oct = build_octant_tables(walk)
 
+    slot_of_tri = np.zeros(T, np.int32)
+    occupied = prim_id >= 0
+    slot_of_tri[prim_id[occupied]] = np.nonzero(occupied)[0].astype(np.int32)
+
     conv = (lambda x: x) if as_numpy else jnp.asarray
     copt = lambda x: None if x is None else conv(x)
     return BVH(
@@ -230,6 +238,7 @@ def build_bvh(
         leaf_cmat=copt(leaf_cmat),
         leaf_anchor=copt(leaf_anchor),
         walk_oct=copt(walk_oct),
+        slot_of_tri=conv(slot_of_tri),
     )
 
 

@@ -73,6 +73,14 @@ class RenderConfig:
     # ray-cone mip filtering of textures (level from hit distance x pixel
     # angle; the reference builds mip chains but shades at lod 0)
     texture_mips: bool = True
+    # primary-ray t_max seeding: re-test the triangle this pixel hit LAST
+    # frame (gbuf.tri) against the new primary ray; a hit is a real
+    # intersection, so its t is a valid upper bound — the walk prunes
+    # everything behind it from step 0.  Exact (the closest hit is <= any
+    # seed), temporally coherent scenes skip most primary leaf events.
+    # Flattened scenes only (instanced seeding would need an object-space
+    # re-test); off until the TPU A/B (tools/perf_frame.py primary_seed).
+    primary_seed: bool = False
     # DI shadow-ray visibility reuse cadence: 1 = validate the RIS winner
     # with a shadow ray every frame (reference behavior,
     # direct_stage.comp:200-207); N > 1 = only ~1/N of 8x16 ray-packet

@@ -157,8 +157,28 @@ def direct_stage(
     from .tracer import trace_closest, trace_occlusion
 
     rng_state, o, d = spawn_rays(cam, h, w, rng_state)
+    t_max0 = jnp.full((h, w), _TMAX)
+    if (cfg.primary_seed and scene.inst is None
+            and not cfg.alpha_geometry
+            and scene.bvh.slot_of_tri is not None):
+        # (alpha_geometry excluded: a predicted hit that gets alpha-
+        # discarded must not bound the re-trace past it)
+        # re-test LAST frame's hit triangle at this pixel: a hit is a real
+        # intersection of the CURRENT ray, so its t is an exact upper
+        # bound — the walk prunes everything behind it from step 0
+        from ..ops.intersect import ray_triangle
+
+        pt = prev_gbuf.tri
+        slot = scene.bvh.slot_of_tri[jnp.maximum(pt, 0)]
+        row = scene.bvh.leaf_blocks.reshape(-1, 12)[slot]      # (H, W, 12)
+        p_hit, p_t, _, _ = ray_triangle(
+            o, d, row[..., 0:3], row[..., 3:6], row[..., 6:9], _TMIN, _TMAX
+        )
+        t_max0 = jnp.where(
+            (pt >= 0) & p_hit, p_t * (1.0 + 1e-4) + 1e-6, t_max0
+        )
     rng_state, rec = trace_closest(
-        cfg, scene, o, d, jnp.full((h, w), _TMIN), jnp.full((h, w), _TMAX),
+        cfg, scene, o, d, jnp.full((h, w), _TMIN), t_max0,
         rng_state, coherent=True,
     )
     t_hit = rec.t
@@ -175,7 +195,7 @@ def direct_stage(
     emission = jnp.where(state.valid[..., None], state.emission, env)
 
     # --- G-buffer + motion vector -------------------------------- K1:131-165
-    gbuf = pack_gbuffer(state, t_hit)
+    gbuf = pack_gbuffer(state, t_hit, rec.tri)
     view = decode_gbuffer(gbuf, cam.pos, center_rays(cam, h, w))
     py, px, inside = project_to_pixel(cam.last_proj_view, state.pos, h, w)
     mvalid = inside & state.valid

@@ -29,6 +29,8 @@ class GBuffer(NamedTuple):
     nrm: jnp.ndarray      # (H, W) u32
     mat: jnp.ndarray      # (H, W) u32
     albedo: jnp.ndarray   # (H, W) u32
+    tri: jnp.ndarray      # (H, W) i32 primary hit triangle id (-1 miss);
+    #                       feeds the next frame's primary_seed t_max bound
 
 
 def empty_gbuffer(h: int, w: int) -> GBuffer:
@@ -37,10 +39,11 @@ def empty_gbuffer(h: int, w: int) -> GBuffer:
         nrm=jnp.zeros((h, w), jnp.uint32),
         mat=jnp.zeros((h, w), jnp.uint32),
         albedo=jnp.zeros((h, w), jnp.uint32),
+        tri=jnp.full((h, w), -1, jnp.int32),
     )
 
 
-def pack_gbuffer(state: State, t) -> GBuffer:
+def pack_gbuffer(state: State, t, tri=None) -> GBuffer:
     """State (H, W lanes) + primary hit distance -> packed G-buffer."""
     mat_hash = hash8bit(state.mat_id.astype(jnp.uint32))
     # material word = unorm4x8 (metallic, roughness, (ior-1)/3, transmission)
@@ -63,6 +66,8 @@ def pack_gbuffer(state: State, t) -> GBuffer:
         albedo=jnp.where(
             state.valid, octa.pack_albedo_hash(state.albedo, mat_hash), 0
         ),
+        tri=(jnp.full(t.shape, -1, jnp.int32) if tri is None
+             else jnp.where(state.valid, tri.astype(jnp.int32), -1)),
     )
 
 

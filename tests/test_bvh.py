@@ -249,3 +249,54 @@ class TestOctantOrder:
             np.asarray(any_hit(bvh, o, d, tmin, tmax)),
             np.asarray(any_hit(bvho, o, d, tmin, tmax)),
         )
+
+
+class TestSeededTmax:
+    """primary_seed's core invariant: a REAL intersection's t used as the
+    traversal's t_max upper bound never changes the closest hit."""
+
+    def test_seeded_tmax_identical_hits(self):
+        from eidola_tpu.ops.intersect import ray_triangle
+
+        a, b, c = _random_tris(500, seed=21)
+        bvh = build_bvh(a, b, c)
+        o, d = _random_rays(1024, seed=22)
+        tmin = jnp.zeros(1024)
+        tmax = jnp.full(1024, 1e9)
+        rec = closest_hit(bvh, o, d, tmin, tmax)
+
+        # predict with the hit's own triangle (the steady-state case)
+        slot = bvh.slot_of_tri[jnp.maximum(rec.tri, 0)]
+        row = bvh.leaf_blocks.reshape(-1, 12)[slot]
+        p_hit, p_t, _, _ = ray_triangle(
+            o, d, row[..., 0:3], row[..., 3:6], row[..., 6:9], tmin, tmax
+        )
+        seeded = jnp.where(
+            (rec.tri >= 0) & p_hit, p_t * (1.0 + 1e-4) + 1e-6, tmax
+        )
+        rec2 = closest_hit(bvh, o, d, tmin, seeded)
+        np.testing.assert_array_equal(
+            np.asarray(rec.tri), np.asarray(rec2.tri)
+        )
+        np.testing.assert_allclose(
+            np.asarray(rec.t), np.asarray(rec2.t), rtol=1e-6
+        )
+
+        # a WRONG prediction (random other triangle) must also be safe:
+        # its re-test only hits if the ray truly intersects it
+        rng = np.random.default_rng(23)
+        wrong = jnp.asarray(rng.integers(0, 500, 1024).astype(np.int32))
+        slot_w = bvh.slot_of_tri[wrong]
+        row_w = bvh.leaf_blocks.reshape(-1, 12)[slot_w]
+        w_hit, w_t, _, _ = ray_triangle(
+            o, d, row_w[..., 0:3], row_w[..., 3:6], row_w[..., 6:9],
+            tmin, tmax,
+        )
+        seeded_w = jnp.where(w_hit, w_t * (1.0 + 1e-4) + 1e-6, tmax)
+        rec3 = closest_hit(bvh, o, d, tmin, seeded_w)
+        np.testing.assert_array_equal(
+            np.asarray(rec.tri), np.asarray(rec3.tri)
+        )
+        np.testing.assert_allclose(
+            np.asarray(rec.t), np.asarray(rec3.t), rtol=1e-6
+        )

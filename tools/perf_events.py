@@ -37,6 +37,7 @@ def main():
     ap.add_argument("--grid", type=int, default=16)
     ap.add_argument("--size", type=int, nargs=2, default=[512, 288])
     ap.add_argument("--scene", default="stress")
+    ap.add_argument("--which", default="all", help="all | prim | occl | bounce")
     args = ap.parse_args()
 
     from eidola_tpu.models.scenes import bistro_standin, stress_grid
@@ -61,25 +62,42 @@ def main():
         print(f"{tag}: events {int(s['events']):8d}  chunks "
               f"{int(s['chunks']):5d}  steps {int(s['steps']):6d}")
 
-    ot, dt = to_tiles(o, h, w), to_tiles(d, h, w)
-    rec, s = jax.jit(
-        lambda o, d: closest_hit_stats(scene.bvh, o, d, tmin, tmax)
-    )(ot, dt)
-    show("prim  ", s)
+    if args.which in ("all", "prim", "occl"):
+        ot, dt = to_tiles(o, h, w), to_tiles(d, h, w)
+        rec, s = jax.jit(
+            lambda o, d: closest_hit_stats(scene.bvh, o, d, tmin, tmax)
+        )(ot, dt)
+        if args.which != "occl":
+            show("prim  ", s)
 
-    hitp = ot + dt * jnp.where(rec.t > 1e20, 10.0, rec.t)[..., None] * 0.99
-    rng = np.random.default_rng(3)
-    lp = jnp.asarray(rng.uniform(-40, 40, (8, 3)).astype(np.float32)
-                     + np.float32([0, 60, 0]))
-    tgt = lp[jnp.asarray(rng.integers(0, 8, n))]
-    sd = tgt - hitp
-    dist = jnp.linalg.norm(sd, axis=-1, keepdims=True)
-    sd = sd / jnp.maximum(dist, 1e-6)
-    _, s = jax.jit(
-        lambda o, d, tm: any_hit_stats(scene.bvh, o, d, tmin, tm)
-    )(hitp, sd, dist[..., 0] * 0.999)
-    show("occl  ", s)
+    if args.which in ("all", "prim") and scene.bvh.slot_of_tri is not None:
+        # primary_seed steady-state proxy: seed t_max with the ray's own
+        # hit t (what a still camera reaches after one frame)
+        seeded = jnp.where(
+            rec.tri >= 0, rec.t * (1.0 + 1e-4) + 1e-6, tmax
+        )
+        _, s = jax.jit(
+            lambda o, d, tm: closest_hit_stats(scene.bvh, o, d, tmin, tm)
+        )(ot, dt, seeded)
+        show("prim@s", s)
 
+    if args.which in ("all", "occl"):
+        hitp = ot + dt * jnp.where(
+            rec.t > 1e20, 10.0, rec.t)[..., None] * 0.99
+        rng = np.random.default_rng(3)
+        lp = jnp.asarray(rng.uniform(-40, 40, (8, 3)).astype(np.float32)
+                         + np.float32([0, 60, 0]))
+        tgt = lp[jnp.asarray(rng.integers(0, 8, n))]
+        sd = tgt - hitp
+        dist = jnp.linalg.norm(sd, axis=-1, keepdims=True)
+        sd = sd / jnp.maximum(dist, 1e-6)
+        _, s = jax.jit(
+            lambda o, d, tm: any_hit_stats(scene.bvh, o, d, tmin, tm)
+        )(hitp, sd, dist[..., 0] * 0.999)
+        show("occl  ", s)
+
+    if args.which not in ("all", "bounce"):
+        return
     rngb = np.random.default_rng(1)
     ob = np.asarray(o).reshape(-1, 3) + rngb.standard_normal(
         (n, 3)).astype(np.float32) * 0.5

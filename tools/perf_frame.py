@@ -53,6 +53,7 @@ def main():
         ),
         "depth1_indirect": RenderConfig(**{**base, "max_depth": 1}),
         "no_tiled_mb": RenderConfig(**base, tiled_multibounce=False),
+        "primary_seed": RenderConfig(**base, primary_seed=True),
     }
     which = sys.argv[1:] or list(cases)
     for name in which:
