@@ -60,6 +60,7 @@ _CONFIG_FIELDS = {
     "accumulate": bool,
     "spatial_rounds": int,
     "tonemap_kind": int,
+    "primary_seed": bool,
 }
 
 _PAGE = """<!doctype html>
@@ -80,6 +81,8 @@ border:1px solid #555; margin-right:6px }
  <br>
  <label><input type="checkbox" id="denoise" checked
   onchange="post('/config',{denoise:this.checked})">denoise</label>
+ <label><input type="checkbox" id="pseed"
+  onchange="post('/config',{primary_seed:this.checked})">seed</label>
  restir <select id="restir"
   onchange="post('/config',{restir_mode:+this.value})">
   <option value="0">off</option><option value="1">RIS</option>

@@ -70,6 +70,10 @@ MT_MODE = os.environ.get("EIDOLA_MT", "auto")
 # HBM) and walks the majority-octant table per packet; opt-in until
 # TPU-measured against the default build order.
 OCT_ORDER = os.environ.get("EIDOLA_OCT", "0") == "1"
+# spatial-split BVH build (SBVH, ops/bvh_build.build_sbvh_topology):
+# chops straddling triangle references at bin planes to cut child overlap
+# (fewer packet leaf events); numpy-only build path, opt-in until measured
+SBVH = os.environ.get("EIDOLA_SBVH", "0") == "1"
 
 
 def _fused_mt_active() -> bool:
@@ -135,6 +139,7 @@ def build_bvh(
     leaf_size: int | None = None,
     as_numpy: bool = False,
     octant: bool | None = None,
+    spatial: bool | None = None,
 ) -> BVH:
     """Build the threaded BVH on the host (load-time, like the reference's
     one-shot FAST_TRACE BLAS build, accelstruct.cpp:55-65): binned-SAH
@@ -162,13 +167,23 @@ def build_bvh(
 
     from ..native import build_bvh_native
 
-    native = build_bvh_native(tb_min, tb_max, centroid, leaf_size)
+    use_spatial = spatial if spatial is not None else SBVH
+    native = None if use_spatial else build_bvh_native(
+        tb_min, tb_max, centroid, leaf_size
+    )
     if native is not None:
         bmin, bmax, escape, blk, leaf_tris = native
     else:
-        lefts, rights, n_bmin, n_bmax, node_tris = build_sah_topology(
-            tb_min, tb_max, centroid, leaf_size
-        )
+        if use_spatial:
+            from .bvh_build import build_sbvh_topology
+
+            lefts, rights, n_bmin, n_bmax, node_tris = build_sbvh_topology(
+                v0, v1, v2, leaf_size
+            )
+        else:
+            lefts, rights, n_bmin, n_bmax, node_tris = build_sah_topology(
+                tb_min, tb_max, centroid, leaf_size
+            )
         bmin, bmax, escape, blk, leaf_tris = flatten_preorder(
             lefts, rights, n_bmin, n_bmax, node_tris, leaf_size
         )

@@ -300,3 +300,55 @@ class TestSeededTmax:
         np.testing.assert_allclose(
             np.asarray(rec.t), np.asarray(rec3.t), rtol=1e-6
         )
+
+
+class TestSBVH:
+    """Spatial-split build (build_bvh(spatial=True) / EIDOLA_SBVH=1):
+    duplicated straddling references must not change any query result."""
+
+    def test_sbvh_matches_oracle(self):
+        from eidola_tpu.ops.intersect import brute_force_closest
+
+        a, b, c = _random_tris(600, seed=31)
+        bvh = build_bvh(a, b, c, spatial=True)
+        assert int(bvh.n_tris) == 600
+        o, d = _random_rays(1024, seed=32)
+        tmin = jnp.zeros(1024)
+        tmax = jnp.full(1024, 1e9)
+        rec = closest_hit(bvh, o, d, tmin, tmax)
+        otri, ot, _, _ = brute_force_closest(
+            o, d, jnp.asarray(a), jnp.asarray(b - a), jnp.asarray(c - a),
+            tmin, tmax,
+        )
+        hits = np.asarray(otri) >= 0
+        np.testing.assert_array_equal(np.asarray(rec.tri) >= 0, hits)
+        np.testing.assert_allclose(
+            np.asarray(rec.t)[hits], np.asarray(ot)[hits], rtol=1e-4
+        )
+        same = np.asarray(rec.tri)[hits] == np.asarray(otri)[hits]
+        assert same.mean() > 0.99
+
+    def test_sbvh_any_hit_matches_plain(self):
+        a, b, c = _random_tris(400, seed=33)
+        b0 = build_bvh(a, b, c, spatial=False)
+        b1 = build_bvh(a, b, c, spatial=True)
+        o, d = _random_rays(512, seed=34)
+        tmin = jnp.zeros(512)
+        tmax = jnp.full(512, 1e9)
+        np.testing.assert_array_equal(
+            np.asarray(any_hit(b0, o, d, tmin, tmax)),
+            np.asarray(any_hit(b1, o, d, tmin, tmax)),
+        )
+
+    def test_sbvh_composes_with_octant(self):
+        a, b, c = _random_tris(300, seed=35)
+        b0 = build_bvh(a, b, c, spatial=True, octant=False)
+        b1 = build_bvh(a, b, c, spatial=True, octant=True)
+        o, d = _random_rays(512, seed=36)
+        tmin = jnp.zeros(512)
+        tmax = jnp.full(512, 1e9)
+        r0 = closest_hit(b0, o, d, tmin, tmax)
+        r1 = closest_hit(b1, o, d, tmin, tmax)
+        np.testing.assert_allclose(
+            np.asarray(r0.t), np.asarray(r1.t), rtol=1e-5
+        )
