@@ -57,19 +57,21 @@ CHUNK = int(os.environ.get("EIDOLA_CHUNK", "4096"))
 SUBW = int(os.environ.get("EIDOLA_SUBW", "128"))
 # drain variant: "flat" (default) or "skip" (measurement only: walk cost)
 DRAIN = os.environ.get("EIDOLA_DRAIN", "flat")
-# leaf intersection math: "auto" (mxu on TPU, cols on CPU), "cols"
+# leaf intersection math: "auto" (fused on TPU, cols on CPU), "cols"
 # (unrolled per-triangle VPU loop), "mxu" (Pallas MXU kernel over
 # per-event coefficient tensors, ops/bvh_mxu.py — 80->74 ms primaries /
 # 858->751 bounce), "fused" (ops/bvh_fused.py: static per-leaf
-# coefficient table DMA'd by leaf id + in-kernel segmented fold;
-# opt-in until measured), or "matmul" (pure-XLA feature-space dots;
-# measured LOSS, kept for record)
+# coefficient table DMA'd by leaf id + in-kernel segmented fold; the
+# measured TPU winner — 74->68.5 ms primaries / 536->480 bounce on top of
+# the o15d6+octant stack — and the TPU default via "auto"), or "matmul"
+# (pure-XLA feature-space dots; measured LOSS, kept for record)
 MT_MODE = os.environ.get("EIDOLA_MT", "auto")
 # octant-ordered walk tables (ops/bvh_oct.py): near-child-first descent by
-# ray-direction octant.  "1" builds the 8 per-octant threadings (8x walk
-# HBM) and walks the majority-octant table per packet; opt-in until
-# TPU-measured against the default build order.
-OCT_ORDER = os.environ.get("EIDOLA_OCT", "0") == "1"
+# ray-direction octant.  Default ON ("0" disables): builds the 8
+# per-octant threadings (8x walk HBM) and walks the majority-octant table
+# per packet — measured on v5 lite bounce 748->716 alone, composing to
+# 480 ms with o15d6 keys + the fused drain (vs 748 base).
+OCT_ORDER = os.environ.get("EIDOLA_OCT", "1") == "1"
 # spatial-split BVH build (SBVH, ops/bvh_build.build_sbvh_topology):
 # chops straddling triangle references at bin planes to cut child overlap
 # (fewer packet leaf events); numpy-only build path, opt-in until measured
@@ -78,8 +80,12 @@ SBVH = os.environ.get("EIDOLA_SBVH", "0") == "1"
 
 def _fused_mt_active() -> bool:
     """Whether closest-hit drains use the fused table kernel (and BVH
-    builds must therefore precompute the per-leaf coefficient tables)."""
-    return MT_MODE == "fused"
+    builds must therefore precompute the per-leaf coefficient tables).
+    "auto" resolves to fused on TPU (measured fastest drain: PERF_NOTES
+    "Fused table drain"), cols on CPU (tests/dryrun compile budget)."""
+    if MT_MODE == "fused":
+        return True
+    return MT_MODE == "auto" and jax.default_backend() != "cpu"
 MT_PREC = os.environ.get("EIDOLA_MT_PREC", "highest")
 _BIG = 1e30
 

@@ -37,8 +37,11 @@ TILE_W = 16
 # primaries): its per-step (8,8) scalar work can't amortize like the
 # megavector walk, kept for future iteration
 _TRAV = os.environ.get("EIDOLA_TRAV", "xla")
-# wavefront sort-key layout (see ray_sort_keys): o21d3 | d3o21 | o15d6
-_KEY = os.environ.get("EIDOLA_KEY", "o21d3")
+# wavefront sort-key layout (see ray_sort_keys): o21d3 | d3o21 | o15d6.
+# o15d6 (6 direction bits over 5 origin-grid bits/axis) is the measured
+# TPU default: bounce 748 -> 564 ms alone, 480 composed with octant
+# tables + fused drain (PERF_NOTES "Sort keys / queue depth / seeding")
+_KEY = os.environ.get("EIDOLA_KEY", "o15d6")
 
 
 def _is_wide(bvh) -> bool:
