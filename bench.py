@@ -119,10 +119,14 @@ def main():
     }
     if os.environ.get("EIDOLA_BENCH_BREAKDOWN"):
         # per-stage attribution by ablation (extra full compiles — not run
-        # by the driver; set EIDOLA_BENCH_BREAKDOWN=1 locally)
-        no_dn = measure(cfg._replace(denoise=False))
+        # by the driver; set EIDOLA_BENCH_BREAKDOWN=1 locally).  Print the
+        # headline line FIRST so a breakdown failure can't lose it.
+        print(json.dumps(result))
+        import dataclasses
+
+        no_dn = measure(dataclasses.replace(cfg, denoise=False))
         di_only = measure(
-            cfg._replace(denoise=False, indirect_enabled=False)
+            dataclasses.replace(cfg, denoise=False, indirect_enabled=False)
         )
         result["breakdown_ms"] = {
             "direct": round(di_only, 2),
