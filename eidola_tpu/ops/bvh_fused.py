@@ -44,6 +44,19 @@ _BIG = 1e30
 # for A/B since the fused kernel's per-step DMA/compute balance differs)
 EB = int(os.environ.get("EIDOLA_FEB", "16"))
 KDIM = 16    # feature rows (10 used, padded for sublane tiling)
+# MXU pass count for the f32 coefficient dot.  Measured on v5 lite
+# (stress 64.5k, 2.07M bounce rays): default 478.6 ms, highest
+# (exact-f32 6-pass) 526.4 ms (+10%) — the drain is NOT fully
+# DMA-bound, so exactness costs real time.  The single-pass bf16 dot's
+# ~0.2% mean hit-t error vs the cols oracle is absorbed by offset_ray
+# epsilons and stochastic accumulation (round 2 shipped the same
+# profile; golden/estimator tests green), so "default" stays the
+# default; set EIDOLA_MT_PREC=highest for bit-accurate traversal A/Bs.
+# (Precision.HIGH is not implemented by Pallas-TPU.)
+_PREC = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "default": jax.lax.Precision.DEFAULT,
+}[os.environ.get("EIDOLA_MT_PREC", "default")]
 
 
 def build_leaf_tables_np(blocks: np.ndarray, leaf_size: int):
@@ -133,7 +146,7 @@ def _kernel(n, row_ref, leaf_ref, sp_ref, valid_ref, cm_hbm,
         )                                            # (K, 128)
         out = jax.lax.dot_general(
             cmT, fe, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=_PREC,
         )                                            # (4n, 128)
         det = out[0 * n:1 * n]
         tn = out[1 * n:2 * n]
@@ -241,7 +254,7 @@ def _kernel_any(n, row_ref, sp_ref, valid_ref, cm_hbm,
         )
         out = jax.lax.dot_general(
             cmT, fe, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=_PREC,
         )
         det = out[0 * n:1 * n]
         tn = out[1 * n:2 * n]

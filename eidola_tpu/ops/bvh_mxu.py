@@ -15,6 +15,7 @@ ops/bvh._mt_cols as the portable fallback).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -24,6 +25,12 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG = 1e30
 EB = 16         # events per grid step (measured optimum; 8 pays grid overhead)
 KDIM = 16       # feature rows (10 used, padded for sublane tiling)
+# MT dot precision knob (see ops/bvh_fused._PREC for measured costs:
+# exact f32 is +10% on bounce — single-pass bf16 stays the default)
+_PREC = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "default": jax.lax.Precision.DEFAULT,
+}[os.environ.get("EIDOLA_MT_PREC", "default")]
 
 
 def build_cmat(row, n_tris):
@@ -78,7 +85,7 @@ def _kernel(n_tris, cm_ref, f_ref, tmin_ref, tlim_ref,
         fe = f_ref[e]                                # (K, 128)
         out = jax.lax.dot_general(
             cm, fe, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=_PREC,
         )                                            # (4n, 128)
         det = out[0 * n:1 * n]
         tn = out[1 * n:2 * n]
