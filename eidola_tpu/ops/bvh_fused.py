@@ -57,6 +57,26 @@ _PREC = {
     "highest": jax.lax.Precision.HIGHEST,
     "default": jax.lax.Precision.DEFAULT,
 }[os.environ.get("EIDOLA_MT_PREC", "default")]
+# Coefficient-table storage dtype.  At DEFAULT precision the MXU rounds
+# both dot inputs to bf16 anyway (single pass, f32 accumulate), so
+# storing the static table in bf16 is numerically the same dot while
+# HALVING the dominant HBM stream of the drain (the 16 KB/event cmat DMA
+# is ~60% of per-chunk traffic in the PERF_NOTES model) and the
+# Bistro-scale table footprint (~700 -> ~350 MB).  "auto" = bf16 on TPU,
+# f32 on CPU (interpret-mode tests exact-match the cols oracle, and
+# XLA:CPU's DEFAULT-precision dot is exact f32); f32 is forced when
+# EIDOLA_MT_PREC=highest (the exact 6-pass dot needs full inputs).
+
+
+def _cm_dtype():
+    mode = os.environ.get("EIDOLA_CMAT", "auto")
+    if os.environ.get("EIDOLA_MT_PREC", "default") == "highest":
+        return jnp.float32
+    if mode == "bf16":
+        return jnp.bfloat16
+    if mode == "f32":
+        return jnp.float32
+    return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
 
 
 def build_leaf_tables_np(blocks: np.ndarray, leaf_size: int):
@@ -97,6 +117,11 @@ def build_leaf_tables_np(blocks: np.ndarray, leaf_size: int):
     put(6, 2, e2)
     put(3, 3, np.cross(e1, v0c))     # v    = (e1 x v0c) . d - e1 . (o'xd)
     put(6, 3, -e1)
+    if _cm_dtype() == jnp.bfloat16:
+        # ml_dtypes round-to-nearest-even — same rounding the MXU applies
+        # to f32 inputs at DEFAULT precision, so the bf16 table dots
+        # bit-identically to the f32 one on TPU
+        cmT = cmT.astype(jnp.bfloat16)
     return cmT, anchor.astype(np.float32)
 
 
@@ -145,7 +170,7 @@ def _kernel(n, row_ref, leaf_ref, sp_ref, valid_ref, cm_hbm,
             axis=0,
         )                                            # (K, 128)
         out = jax.lax.dot_general(
-            cmT, fe, (((0,), (0,)), ((), ())),
+            cmT, fe.astype(cmT.dtype), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=_PREC,
         )                                            # (4n, 128)
         det = out[0 * n:1 * n]
@@ -253,7 +278,7 @@ def _kernel_any(n, row_ref, sp_ref, valid_ref, cm_hbm,
             axis=0,
         )
         out = jax.lax.dot_general(
-            cmT, fe, (((0,), (0,)), ((), ())),
+            cmT, fe.astype(cmT.dtype), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=_PREC,
         )
         det = out[0 * n:1 * n]
@@ -309,7 +334,7 @@ def mt_any_fused(cm_tab, anchor_row, dma_row, sp, valid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [bs() for _ in range(8)],
         out_specs=[bs()],
         scratch_shapes=[
-            pltpu.VMEM((2, EB, KDIM, 4 * n_tris), jnp.float32),
+            pltpu.VMEM((2, EB, KDIM, 4 * n_tris), cm_tab.dtype),
             pltpu.SemaphoreType.DMA((2, EB)),
             pltpu.VMEM((1, lanes), jnp.int32),
             pltpu.SMEM((1,), jnp.int32),
@@ -355,7 +380,7 @@ def mt_fused(cm_tab, anchor_row, dma_row, gleaf, sp, valid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [bs() for _ in range(8)],
         out_specs=[bs() for _ in range(4)],
         scratch_shapes=[
-            pltpu.VMEM((2, EB, KDIM, 4 * n_tris), jnp.float32),
+            pltpu.VMEM((2, EB, KDIM, 4 * n_tris), cm_tab.dtype),
             pltpu.SemaphoreType.DMA((2, EB)),
             pltpu.VMEM((1, lanes), jnp.float32),
             pltpu.VMEM((1, lanes), jnp.int32),

@@ -32,10 +32,13 @@ def time_cfg(scene, cam, cfg, iters=4, warmup=2):
 
 
 def main():
-    from eidola_tpu.models.scenes import stress_grid
+    from eidola_tpu.models.scenes import bistro_standin, stress_grid
     from eidola_tpu.render.config import RESTIR_NONE, RenderConfig
 
-    scene, cam = stress_grid(16)
+    if os.environ.get("EIDOLA_BENCH_SCENE") == "bistro":
+        scene, cam = bistro_standin()
+    else:
+        scene, cam = stress_grid(16)
     print(f"tris={int(scene.bvh.n_tris)}")
     W, H = 1920, 1080
     base = dict(width=W, height=H, max_depth=4, env_mode="sunsky")
