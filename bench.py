@@ -66,7 +66,9 @@ def main():
         }))
         return
 
-    from eidola_tpu.models.scenes import bistro_standin, stress_grid
+    import numpy as np
+
+    from eidola_tpu.models.scenes import load_scene
     from eidola_tpu.render.config import (
         RenderConfig,
         default_params,
@@ -74,23 +76,41 @@ def main():
     )
     from eidola_tpu.render.frame import init_frame_state, render_frame
 
-    if os.environ.get("EIDOLA_BENCH_SCENE") == "stress":
-        scene, cam = stress_grid(16)
-    else:
-        scene, cam = bistro_standin()
+    # bistro_standin (default) is the HONEST headline scene: textured
+    # (base color + normal maps), alpha-MASK foliage, instanced trees —
+    # the workload classes the reference pays for on Bistro Exterior.
+    # bistro_flat keeps the round-2/3 untextured flattened variant;
+    # stress is the small 64.5k scene.
+    name = os.environ.get("EIDOLA_BENCH_SCENE", "bistro_standin")
+    scene, cam = load_scene(name) if name != "stress" else load_scene(
+        "stress", n=16
+    )
     n_tris = int(scene.bvh.n_tris)
+    has_alpha = bool((np.asarray(scene.materials.alpha_mode) != 0).any())
 
     # Reference config: maxDepth 4, RIS M=4, temporal reuse, 4/5 denoise
     # levels (BASELINE.md "algorithm constants").
-    cfg = RenderConfig(width=W, height=H, max_depth=4, env_mode="sunsky")
+    cfg = RenderConfig(width=W, height=H, max_depth=4, env_mode="sunsky",
+                       alpha_geometry=has_alpha)
     params, tm = default_params(), default_tonemap()
 
-    def measure(cfg):
+    def measure(cfg, tries: int = 2):
         state = init_frame_state(cfg, cam)
         step = jax.jit(
             lambda sc, c, p, t, st: render_frame(cfg, sc, c, p, t, st)
         )
-        for _ in range(WARMUP):
+        # the axon remote-compile path occasionally fails over to a
+        # chipless AOT helper whose Mosaic build rejects valid kernels
+        # (observed 2026-08-19: "Bad lhs type" on the fused drain's bf16
+        # dot); a retry re-routes to the healthy on-device compiler
+        for attempt in range(tries):
+            try:
+                state, out = step(scene, cam, params, tm, state)
+                break
+            except Exception:
+                if attempt + 1 == tries:
+                    raise
+        for _ in range(WARMUP - 1):
             state, out = step(scene, cam, params, tm, state)
         jax.block_until_ready(out["image"])
         t0 = time.perf_counter()

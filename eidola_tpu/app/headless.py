@@ -130,6 +130,11 @@ def run(argv=None) -> dict:
         primary_seed=args.primary_seed,
     )
     params, tm = default_params(), default_tonemap()
+    if scene.env is not None:
+        # firefly clamp = 4 x env integral (ref sample_example.cpp:104)
+        from ..scene.data import env_params
+
+        params = env_params(params, scene.env)
     import jax.numpy as jnp
 
     tm = tm._replace(

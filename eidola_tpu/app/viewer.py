@@ -252,7 +252,7 @@ class ViewerState:
 def _load_scene_request(vs: ViewerState, req: dict):
     """Worker-side scene/HDR load + swap (detached loader thread analog)."""
     from ..models.scenes import load_scene
-    from ..scene.data import attach_env
+    from ..scene.data import attach_env, env_params
     from ..scene.gltf import load_gltf_scene
     from ..scene.hdr import build_env_map, load_hdr
     from .headless import _pivot_from_cam
@@ -268,6 +268,8 @@ def _load_scene_request(vs: ViewerState, req: dict):
         if env is not None:
             scene = attach_env(scene, env)
         with vs.lock:
+            if env is not None:
+                vs.params = env_params(vs.params, env)
             vs.scene = scene
             vs.cam = cam
             vs.manip.eye = np.asarray(cam.pos, np.float64)
@@ -286,6 +288,7 @@ def _load_scene_request(vs: ViewerState, req: dict):
         scene = attach_env(scene, env)
         with vs.lock:
             vs.scene = scene
+            vs.params = env_params(vs.params, env)
             vs.base_cfg = dataclasses.replace(vs.base_cfg, env_mode="hdr")
             vs.reset_requested = True
             vs.ready_cfgs.clear()
@@ -503,7 +506,12 @@ def serve(argv=None):
         np.asarray(cam.pos), _pivot_from_cam(cam), aspect=w / h
     )
     manip._cam = cam._replace()
-    vs = ViewerState(scene, cam, cfg, default_params(), default_tonemap(),
+    params = default_params()
+    if scene.env is not None:
+        from ..scene.data import env_params
+
+        params = env_params(params, scene.env)
+    vs = ViewerState(scene, cam, cfg, params, default_tonemap(),
                      manip, descale=args.descale)
     vs.scene_name = args.scene
 

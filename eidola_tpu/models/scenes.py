@@ -249,13 +249,252 @@ def box_grid_tris(center, half, sub: int = 8):
     return tris.astype(np.float32)
 
 
+def box_grid_mesh(center, half, sub: int = 8, uv_tile: float = 1.0):
+    """box_grid_tris plus per-face planar UVs (each face maps its in-plane
+    axes to [0, uv_tile]^2) — building walls for the textured bench."""
+    tris = box_grid_tris(center, half, sub=sub)
+    n_face = sub * sub * 2
+    uvs = np.zeros((tris.shape[0], 3, 2), np.float32)
+    c = np.asarray(center, np.float32)
+    h = np.asarray(half, np.float32)
+    for f, (axis, _) in enumerate(
+        ((0, 1), (0, -1), (1, 1), (1, -1), (2, 1), (2, -1))
+    ):
+        a, b = [i for i in range(3) if i != axis]
+        sl = slice(f * n_face, (f + 1) * n_face)
+        t = tris[sl]
+        uvs[sl, :, 0] = (t[..., a] - c[a] + h[a]) / (2 * h[a]) * uv_tile
+        uvs[sl, :, 1] = (t[..., b] - c[b] + h[b]) / (2 * h[b]) * uv_tile
+    return tris, uvs
+
+
+def _tree_mesh(rng, n_leaves: int = 256, bark_mat: int = 3,
+               leaf_mat: int = 4):
+    """Procedural tree: tessellated trunk + a canopy of randomly oriented
+    leaf quads carrying an alpha-MASK texture — the Bistro-foliage workload
+    class (stochastic HitTest per candidate, ref traceray_rq.glsl:58-101).
+    Returns a mesh dict for upload_scene_instanced."""
+    trunk, trunk_uv = box_grid_mesh([0, 1.1, 0], [0.13, 1.1, 0.13],
+                                    sub=2, uv_tile=2.0)
+    c = np.asarray([0.0, 2.5, 0.0], np.float32)
+    R = 1.25
+    rr = R * (0.45 + 0.55 * rng.random(n_leaves) ** 0.5)
+    th = np.arccos(rng.uniform(-1, 1, n_leaves))
+    ph = rng.uniform(0, 2 * np.pi, n_leaves)
+    p = c + (rr[:, None] * np.stack(
+        [np.sin(th) * np.cos(ph), np.cos(th), np.sin(th) * np.sin(ph)], -1
+    )).astype(np.float32)
+    # random orthonormal leaf frame
+    u = rng.normal(size=(n_leaves, 3)).astype(np.float32)
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    w = rng.normal(size=(n_leaves, 3)).astype(np.float32)
+    v = np.cross(u, w)
+    v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-9)
+    s = (0.22 + 0.16 * rng.random(n_leaves))[:, None].astype(np.float32)
+    p00 = p - u * s - v * s
+    p10 = p + u * s - v * s
+    p11 = p + u * s + v * s
+    p01 = p - u * s + v * s
+    t1 = np.stack([p00, p10, p11], axis=1)
+    t2 = np.stack([p00, p11, p01], axis=1)
+    leaf_tris = np.concatenate([t1, t2])
+    uv1 = np.tile(np.asarray([[0, 0], [1, 0], [1, 1]], np.float32),
+                  (n_leaves, 1, 1))
+    uv2 = np.tile(np.asarray([[0, 0], [1, 1], [0, 1]], np.float32),
+                  (n_leaves, 1, 1))
+    tris = np.concatenate([trunk, leaf_tris])
+    uvs = np.concatenate([trunk_uv, uv1, uv2])
+    mats = np.concatenate([
+        np.full(trunk.shape[0], bark_mat, np.int32),
+        np.full(leaf_tris.shape[0], leaf_mat, np.int32),
+    ])
+    return {"v0": tris[:, 0], "v1": tris[:, 1], "v2": tris[:, 2],
+            "uvs": uvs, "mat_ids": mats}
+
+
+def _bench_textures():
+    """Procedural texture set for the headline bench (the reference's
+    Bistro pays texture fetch + mips + alpha every frame; these reproduce
+    those workload classes offline: scene.cpp:554-646 samplers/mips,
+    traceray_rq.glsl:58-80 alpha fetch in HitTest)."""
+    rng = np.random.default_rng(99)
+
+    def noise(h, w, lo, hi):
+        return (lo + (hi - lo) * rng.random((h, w)))[..., None]
+
+    # brick: staggered rows + mortar grooves (also drives the normal map)
+    h = w = 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    row = yy // 16
+    xoff = (xx + (row % 2) * 16) % 32
+    mortar = ((yy % 16) < 2) | (xoff < 2)
+    height = np.where(mortar, 0.0, 1.0).astype(np.float32)
+    height += 0.15 * rng.random((h, w)).astype(np.float32)
+    brick = np.zeros((h, w, 4), np.float32)
+    shade = 0.75 + 0.25 * rng.random((h // 16 + 1, w // 32 + 2))
+    bshade = shade[row, (xx + (row % 2) * 16) // 32]
+    brick[..., 0] = np.where(mortar, 0.62, 0.55 * bshade)
+    brick[..., 1] = np.where(mortar, 0.60, 0.28 * bshade)
+    brick[..., 2] = np.where(mortar, 0.57, 0.22 * bshade)
+    brick[..., 3] = 1.0
+    # normal map from the brick height field
+    gx = np.roll(height, -1, 1) - np.roll(height, 1, 1)
+    gy = np.roll(height, -1, 0) - np.roll(height, 1, 0)
+    nz = np.ones_like(gx) * 0.6
+    nl = np.sqrt(gx * gx + gy * gy + nz * nz)
+    brick_nrm = np.zeros((h, w, 4), np.float32)
+    brick_nrm[..., 0] = (-gx / nl) * 0.5 + 0.5
+    brick_nrm[..., 1] = (-gy / nl) * 0.5 + 0.5
+    brick_nrm[..., 2] = (nz / nl) * 0.5 + 0.5
+    brick_nrm[..., 3] = 1.0
+
+    plaster = np.concatenate(
+        [noise(128, 128, 0.55, 0.66), noise(128, 128, 0.56, 0.64),
+         noise(128, 128, 0.58, 0.70), np.ones((128, 128, 1), np.float32)],
+        axis=-1,
+    ).astype(np.float32)
+
+    asphalt = np.zeros((128, 128, 4), np.float32)
+    g = 0.22 + 0.1 * rng.random((128, 128))
+    lane = (np.abs(np.arange(128) - 64) < 2)[None, :] & \
+        ((np.arange(128) % 32) < 20)[:, None]
+    asphalt[..., 0] = np.where(lane, 0.7, g)
+    asphalt[..., 1] = np.where(lane, 0.66, g)
+    asphalt[..., 2] = np.where(lane, 0.5, g * 1.05)
+    asphalt[..., 3] = 1.0
+
+    bark = np.zeros((64, 64, 4), np.float32)
+    bx = np.arange(64)[None, :]
+    stripe = 0.5 + 0.5 * np.sin(bx * 1.1 + rng.random((64, 1)) * 3)
+    bb = 0.18 + 0.12 * stripe + 0.06 * rng.random((64, 64))
+    bark[..., 0] = bb * 1.4
+    bark[..., 1] = bb
+    bark[..., 2] = bb * 0.6
+    bark[..., 3] = 1.0
+
+    # leaf: elliptical alpha cutout + midrib (roughly half the texels
+    # below the 0.5 cutoff, like real foliage cards)
+    lh = lw = 64
+    ly, lx = np.mgrid[0:lh, 0:lw]
+    ex = (lx - 31.5) / 26.0
+    ey = (ly - 31.5) / 30.0
+    inside = (ex * ex + ey * ey) < 1.0
+    leaf = np.zeros((lh, lw, 4), np.float32)
+    vein = np.abs(lx - 31.5) < 1.5
+    gshade = 0.25 + 0.3 * rng.random((lh, lw)) + 0.15 * vein
+    leaf[..., 0] = 0.08 + 0.08 * gshade
+    leaf[..., 1] = 0.30 + 0.35 * gshade
+    leaf[..., 2] = 0.05 + 0.06 * gshade
+    leaf[..., 3] = inside.astype(np.float32)
+
+    return {"asphalt": asphalt, "brick": brick, "plaster": plaster,
+            "bark": bark, "leaf": leaf, "brick_nrm": brick_nrm}
+
+
 def bistro_standin(target_mtris: float = 2.83):
-    """Procedural city scene at Bistro-Exterior scale (>= target_mtris
-    million triangles): tessellated buildings + dense foliage spheres +
-    street ground, under sun & sky.  Stand-in for the reference's headline
-    benchmark asset (BASELINE.md: Bistro Exterior, 2.83M tris, 1080p) — the
-    offline environment has no Bistro download, so the triangle load,
-    depth complexity and material mix are reproduced procedurally."""
+    """Honest Bistro-Exterior-class headline scene (>= target_mtris million
+    INSTANCED triangles): textured tessellated buildings (base color +
+    normal maps), alpha-MASK leaf foliage on instanced trees, textured
+    street — so the bench pays for everything the reference pays for on
+    Bistro: texture fetch in HitTest (traceray_rq.glsl:58-80), sampler/mip
+    machinery (scene.cpp:554-646) and TLAS instancing
+    (accelstruct.cpp:132-162).  The offline environment has no Bistro
+    download, so the workload classes are reproduced procedurally;
+    `bistro_flat` keeps round 2/3's untextured flattened variant for A/B."""
+    from ..scene.data import ALPHA_MASK, upload_scene_instanced
+
+    rng = np.random.default_rng(7)
+    target = int(target_mtris * 1e6)
+    tex = _bench_textures()
+    tex_list = [tex["asphalt"], tex["brick"], tex["plaster"], tex["bark"],
+                tex["leaf"], tex["brick_nrm"]]
+    materials = [
+        {"base_color": [1, 1, 1, 1], "roughness": 0.9, "base_tex": 0},
+        {"base_color": [1, 1, 1, 1], "roughness": 0.7, "base_tex": 1,
+         "normal_tex": 5},
+        {"base_color": [1, 1, 1, 1], "roughness": 0.45, "metallic": 0.2,
+         "base_tex": 2, "normal_tex": 5},
+        {"base_color": [1, 1, 1, 1], "roughness": 0.85, "base_tex": 3},
+        {"base_color": [1, 1, 1, 1], "roughness": 0.7, "base_tex": 4,
+         "alpha_mode": ALPHA_MASK, "alpha_cutoff": 0.5},
+    ]
+
+    # --- unique meshes (shared BLAS pools) ------------------------------
+    meshes = []
+    gt, guv = quad_tris([-140, 0, -140], [140, 0, -140], [140, 0, 140],
+                        [-140, 0, 140]), None
+    guv = np.zeros((2, 3, 2), np.float32)
+    guv[:] = (gt[..., [0, 2]] + 140.0) / 280.0 * 70.0
+    meshes.append({"v0": gt[:, 0], "v1": gt[:, 1], "v2": gt[:, 2],
+                   "uvs": guv,
+                   "mat_ids": np.zeros(2, np.int32)})  # 0: street
+    building_ids = []
+    for k in range(4):
+        w = 2.2 + 0.5 * k
+        hgt = 5.0 + 2.5 * k
+        tris, uvs = box_grid_mesh([0, hgt / 2, 0], [w, hgt / 2, w],
+                                  sub=12, uv_tile=3.0 + k)
+        mat = 1 + k % 2
+        building_ids.append(len(meshes))
+        meshes.append({"v0": tris[:, 0], "v1": tris[:, 1], "v2": tris[:, 2],
+                       "uvs": uvs,
+                       "mat_ids": np.full(tris.shape[0], mat, np.int32)})
+    tree_ids = []
+    for k in range(2):
+        tree_ids.append(len(meshes))
+        meshes.append(_tree_mesh(rng, n_leaves=256))
+
+    per_building = int(meshes[building_ids[0]]["v0"].shape[0])  # 1728
+    per_tree = int(meshes[tree_ids[0]]["v0"].shape[0])          # ~560
+    trees_per_lot = 4
+    per_lot = per_building + trees_per_lot * per_tree
+    n_lots = int(np.ceil(np.sqrt(target / per_lot)))
+
+    def yaw(t, s, x, y, z):
+        c_, s_ = np.cos(t), np.sin(t)
+        m = np.asarray([
+            [c_ * s, 0, s_ * s, x],
+            [0, s, 0, y],
+            [-s_ * s, 0, c_ * s, z],
+            [0, 0, 0, 1],
+        ], np.float64)
+        return m
+
+    instances = [(0, np.eye(4))]
+    lot = 10.0
+    for i in range(n_lots):
+        for j in range(n_lots):
+            x = (i - n_lots / 2) * lot + rng.uniform(-1, 1)
+            z = (j - n_lots / 2) * lot + rng.uniform(-1, 1)
+            b = building_ids[(i * 7 + j * 3) % 4]
+            instances.append(
+                (b, yaw(0.5 * np.pi * ((i + j) % 4),
+                        rng.uniform(0.85, 1.25), x, 0.0, z))
+            )
+            for _ in range(trees_per_lot):
+                tx = x + rng.uniform(-lot / 2, lot / 2)
+                tz = z + rng.uniform(-lot / 2, lot / 2)
+                instances.append(
+                    (tree_ids[rng.integers(2)],
+                     yaw(rng.uniform(0, 2 * np.pi),
+                         rng.uniform(0.7, 1.5), tx, 0.0, tz))
+                )
+
+    scene = upload_scene_instanced(
+        meshes, instances, materials=materials, textures=tex_list,
+    )
+    # street-canyon view down the x=0 lot gap (Bistro's bench view is
+    # street level: deep depth complexity + foliage crossing the frame)
+    cam = make_camera(
+        eye=[0.0, 5.5, n_lots * lot * 0.52],
+        center=[0.0, 3.0, 0.0], fovy_deg=55.0,
+    )
+    return scene, cam
+
+
+def bistro_flat(target_mtris: float = 2.83):
+    """Round 2/3's untextured, single-BVH stand-in (kept for traversal
+    A/Bs against the honest textured+alpha+instanced `bistro_standin`)."""
     rng = np.random.default_rng(7)
     target = int(target_mtris * 1e6)
 
@@ -393,6 +632,7 @@ _REGISTRY = {
     "hdr": hdr_env_demo,
     "alpha": alpha_demo,
     "bistro_standin": bistro_standin,
+    "bistro_flat": bistro_flat,
 }
 
 

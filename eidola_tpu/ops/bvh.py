@@ -86,7 +86,14 @@ def _fused_mt_active() -> bool:
     if MT_MODE == "fused":
         return True
     return MT_MODE == "auto" and jax.default_backend() != "cpu"
-MT_PREC = os.environ.get("EIDOLA_MT_PREC", "highest")
+# MT dot precision (EIDOLA_MT_PREC) — ONE default shared by every drain
+# (the matmul record path below, ops/bvh_mxu.py and ops/bvh_fused.py all
+# key off this constant, frozen at import so a mid-process env change
+# can't pair a bf16 coefficient table with the exact 6-pass dot).
+# "default" = single-pass bf16-input dot with f32 accumulate — measured
+# +10% frame cost for exact f32 (PERF_NOTES "MT dot precision"); the
+# bf16 error is absorbed by offset_ray epsilons + stochastic accumulation.
+MT_PREC = os.environ.get("EIDOLA_MT_PREC", "default")
 _BIG = 1e30
 
 
@@ -97,7 +104,7 @@ class BVH(NamedTuple):
     n_tris: jnp.ndarray       # () i32 true triangle count
     # static MT coefficient tables for the fused drain (EIDOLA_MT=fused;
     # ops/bvh_fused.py) — None unless that mode was active at build time
-    leaf_cmat: jnp.ndarray | None = None    # (L, KDIM, 4*leaf_size) f32
+    leaf_cmat: jnp.ndarray | None = None    # (L, KDIM, 4*leaf_size) f32/bf16 (EIDOLA_CMAT)
     leaf_anchor: jnp.ndarray | None = None  # (L, 3) f32
     # octant-ordered walk threadings (EIDOLA_OCT=1, ops/bvh_oct.py):
     # (8*N, 8) — table o*N.. is the near-child-first preorder for rays in
@@ -538,8 +545,12 @@ def _traverse(bvh, o, d, t_min, t_max, any_hit: bool, max_steps: int,
 
         def w_body(c):
             (node, t_best, tri_best, u_best, v_best, queue, cnt, step,
-             ev_total, chunks) = c
+             ev_total, chunks, live_steps) = c
             live = node >= 0
+            # live-packet integral: sum over steps of live packets — the
+            # dense walk streams ALL n_pkt packets every step, so
+            # steps * n_pkt / live_steps is the compaction headroom
+            live_steps = live_steps + jnp.sum(live.astype(jnp.int32))
             nid = jnp.maximum(node, 0)
             if walk_tab is not None:
                 row = walk_tab[oct_base + nid]        # ONE gather: (n_pkt, 8)
@@ -583,7 +594,7 @@ def _traverse(bvh, o, d, t_min, t_max, any_hit: bool, max_steps: int,
             nxt = jnp.where(pkt_hit & ~is_leaf, nid + 1, miss)
             node = jnp.where(live, nxt, node)
             return (node, t_best, tri_best, u_best, v_best, queue, cnt,
-                    step + 1, ev_total, chunks)
+                    step + 1, ev_total, chunks, live_steps)
 
         return jax.lax.while_loop(w_cond, w_body, carry)
 
@@ -620,15 +631,15 @@ def _traverse(bvh, o, d, t_min, t_max, any_hit: bool, max_steps: int,
         """Measurement-only mode (EIDOLA_DRAIN=skip): drop queued events
         without intersecting — isolates walk cost.  WRONG results."""
         (node, t_best, tri_best, u_best, v_best, queue, cnt, step,
-         ev_total, chunks) = carry
+         ev_total, chunks, live_steps) = carry
         ev_total = ev_total + jnp.sum(cnt)
         cnt = jnp.zeros_like(cnt)
         return (node, t_best, tri_best, u_best, v_best, queue, cnt, step,
-                ev_total, chunks)
+                ev_total, chunks, live_steps)
 
     def drain_flat(carry):
         (node, t_best, tri_best, u_best, v_best, queue, cnt, step,
-         ev_total, chunks) = carry
+         ev_total, chunks, live_steps) = carry
         offsets = jnp.concatenate(
             [jnp.zeros(1, jnp.int32), jnp.cumsum(cnt, dtype=jnp.int32)]
         )
@@ -865,7 +876,7 @@ def _traverse(bvh, o, d, t_min, t_max, any_hit: bool, max_steps: int,
         chunks = chunks + ci
         cnt = jnp.zeros_like(cnt)
         return (node, t_best, tri_best, u_best, v_best, queue, cnt, step,
-                ev_total, chunks)
+                ev_total, chunks, live_steps)
 
     drain = drain_skip if DRAIN == "skip" else drain_flat
 
@@ -880,19 +891,26 @@ def _traverse(bvh, o, d, t_min, t_max, any_hit: bool, max_steps: int,
         jnp.int32(0),                                    # step budget
         jnp.int32(0),                                    # stats: total events
         jnp.int32(0),                                    # stats: drain chunks
+        jnp.int32(0),                                    # stats: live-packet steps
     )
 
+    rounds = jnp.int32(0)
+
     def o_cond(carry):
-        node, step = carry[0], carry[7]
+        node, step = carry[0][0], carry[0][7]
         return jnp.any(node >= 0) & (step < max_steps)
 
     def o_body(carry):
-        return drain(walk_rounds(carry))
+        c, rounds = carry
+        return drain(walk_rounds(c)), rounds + 1
 
-    out = jax.lax.while_loop(o_cond, o_body, init)
+    out, rounds = jax.lax.while_loop(
+        lambda c: o_cond(c), o_body, (init, rounds)
+    )
     t_best, tri_slot, u, v = out[1], out[2], out[3], out[4]
     stats = (
-        {"events": out[8], "chunks": out[9], "steps": out[7]}
+        {"events": out[8], "chunks": out[9], "steps": out[7],
+         "rounds": rounds, "live_steps": out[10]}
         if with_stats else None
     )
 

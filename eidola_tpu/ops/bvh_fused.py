@@ -11,9 +11,10 @@ in XLA.  All of that is removable:
 
 - The MT coefficient matrix of a leaf depends ONLY on its triangles, so
   it is built ONCE at BVH build time (host, numpy) as a static
-  (L, K, 4n) table.  The kernel double-buffers 16 KB blocks of it
-  straight HBM->VMEM by (scalar-prefetched) leaf id: per event the chip
-  reads the coefficients exactly once and writes nothing.
+  (L, K, 4n) table (f32 or bf16 per EIDOLA_CMAT; bf16 on TPU).  The
+  kernel double-buffers per-event blocks of it (8 KB bf16 / 16 KB f32 at
+  n=64) straight HBM->VMEM by (scalar-prefetched) leaf id: per event the
+  chip reads the coefficients exactly once and writes nothing.
 - The feature stack [o', d, o'xd, 1] is assembled in VMEM from the
   already-gathered per-event ray rows.
 - The TPU grid is sequential, so the per-sub-packet fold is a running
@@ -52,11 +53,18 @@ KDIM = 16    # feature rows (10 used, padded for sublane tiling)
 # epsilons and stochastic accumulation (round 2 shipped the same
 # profile; golden/estimator tests green), so "default" stays the
 # default; set EIDOLA_MT_PREC=highest for bit-accurate traversal A/Bs.
-# (Precision.HIGH is not implemented by Pallas-TPU.)
+# (Precision.HIGH is not implemented by Pallas-TPU.)  Single source of
+# truth is ops/bvh.MT_PREC, frozen at import: _cm_dtype() below keys off
+# the same frozen value, so a mid-process env change can never pair a
+# bf16 coefficient table with the exact 6-pass dot.
+from .bvh import MT_PREC as _MT_PREC_STR
+
 _PREC = {
     "highest": jax.lax.Precision.HIGHEST,
     "default": jax.lax.Precision.DEFAULT,
-}[os.environ.get("EIDOLA_MT_PREC", "default")]
+}[_MT_PREC_STR]
+# Coefficient-table storage mode (EIDOLA_CMAT), also frozen at import.
+_CMAT = os.environ.get("EIDOLA_CMAT", "auto")
 # Coefficient-table storage dtype.  At DEFAULT precision the MXU rounds
 # both dot inputs to bf16 anyway (single pass, f32 accumulate), so
 # storing the static table in bf16 is numerically the same dot while
@@ -69,12 +77,14 @@ _PREC = {
 
 
 def _cm_dtype():
-    mode = os.environ.get("EIDOLA_CMAT", "auto")
-    if os.environ.get("EIDOLA_MT_PREC", "default") == "highest":
+    """Storage dtype of the static coefficient table — keyed off the
+    import-frozen _MT_PREC_STR/_CMAT (tests may monkeypatch the module
+    attributes to exercise the bf16 path in interpret mode)."""
+    if _MT_PREC_STR == "highest":
         return jnp.float32
-    if mode == "bf16":
+    if _CMAT == "bf16":
         return jnp.bfloat16
-    if mode == "f32":
+    if _CMAT == "f32":
         return jnp.float32
     return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
 
@@ -83,7 +93,8 @@ def build_leaf_tables_np(blocks: np.ndarray, leaf_size: int):
     """Static per-leaf MT coefficient table, built once at load time.
 
     blocks: (L, n*12) f32 leaf rows of (v0, e1, e2, pad) per triangle.
-    Returns (cmT (L, KDIM, 4n) f32, anchor (L, 3) f32) where cmT.T rows
+    Returns (cmT (L, KDIM, 4n) in _cm_dtype() — f32, or bf16 on TPU at
+    DEFAULT MXU precision — anchor (L, 3) f32) where cmT.T rows
     are [det | t_num | u_num | v_num] blocks over the features
     [o'(3), d(3), o'xd(3), 1, 0...], o' = o - anchor (leaf-local
     recentring for f32 conditioning).  Feature order MUST match the

@@ -65,12 +65,17 @@ class InstancedBVH(NamedTuple):
     n_tris: jnp.ndarray         # () i32 total instanced triangles
     # static MT coefficient tables over the shared OBJECT-space leaf pool
     # (fused drain, ops/bvh_fused.py) — None unless EIDOLA_MT=fused
-    leaf_cmat: jnp.ndarray | None = None    # (Lm, KDIM, 4*leaf_size) f32
+    leaf_cmat: jnp.ndarray | None = None    # (Lm, KDIM, 4*leaf_size) f32/bf16 (EIDOLA_CMAT)
     leaf_anchor: jnp.ndarray | None = None  # (Lm, 3) f32
     # octant-ordered threadings of the grafted walk (EIDOLA_OCT=1,
     # ops/bvh_oct.py) — escape-link topology is all the reorder needs, so
     # the same builder covers the instanced walk
     walk_oct: jnp.ndarray | None = None
+    # primary-seed indirection (render/direct.py primary_seed): global
+    # instanced triangle id -> shared OBJECT-space pool slot + instance,
+    # so last frame's hit can be re-tested in instance object space
+    slot_of_tri: jnp.ndarray | None = None  # (T,) i32 pool leaf slot
+    inst_of_tri: jnp.ndarray | None = None  # (T,) i32 instance id
 
     @property
     def leaf_size(self) -> int:
@@ -282,6 +287,27 @@ def build_instanced_bvh(
 
         walk_oct = jnp.asarray(build_octant_tables(walk))
 
+    # global tri -> (shared pool slot, instance) for primary-ray seeding:
+    # per mesh, invert mesh_prim (pool slot -> mesh-local tri) over the
+    # mesh's leaf range, then lay the per-mesh tables out per instance in
+    # inst_tri_base order
+    n_leaf_slots = leaf_size_eff
+    mesh_slot_of_local = []
+    for k, b in enumerate(blas):
+        lo = int(mesh_leaf_base[k]) * n_leaf_slots
+        hi = int(mesh_leaf_base[k + 1]) * n_leaf_slots
+        mp = mesh_prim[lo:hi]
+        inv = np.zeros(mesh_tris[k], np.int32)
+        occ = mp >= 0
+        inv[mp[occ]] = (np.nonzero(occ)[0] + lo).astype(np.int32)
+        mesh_slot_of_local.append(inv)
+    slot_of_tri = np.concatenate(
+        [mesh_slot_of_local[mi] for mi in mesh_of]
+    ) if n_tris_total else np.zeros(0, np.int32)
+    inst_of_tri = np.concatenate(
+        [np.full(mesh_tris[mesh_of[k]], k, np.int32) for k in range(I)]
+    ) if n_tris_total else np.zeros(0, np.int32)
+
     return InstancedBVH(
         walk=jnp.asarray(walk),
         leaf_mesh_row=jnp.asarray(np.concatenate(leaf_mesh_row_parts)),
@@ -294,4 +320,6 @@ def build_instanced_bvh(
         leaf_cmat=leaf_cmat,
         leaf_anchor=leaf_anchor,
         walk_oct=walk_oct,
+        slot_of_tri=jnp.asarray(slot_of_tri),
+        inst_of_tri=jnp.asarray(inst_of_tri),
     )

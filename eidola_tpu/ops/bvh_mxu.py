@@ -25,12 +25,15 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG = 1e30
 EB = 16         # events per grid step (measured optimum; 8 pays grid overhead)
 KDIM = 16       # feature rows (10 used, padded for sublane tiling)
-# MT dot precision knob (see ops/bvh_fused._PREC for measured costs:
-# exact f32 is +10% on bounce — single-pass bf16 stays the default)
+# MT dot precision knob — single source of truth is ops/bvh.MT_PREC
+# (see ops/bvh_fused._PREC for measured costs: exact f32 is +10% on
+# bounce — single-pass bf16 stays the default)
+from .bvh import MT_PREC as _MT_PREC_STR
+
 _PREC = {
     "highest": jax.lax.Precision.HIGHEST,
     "default": jax.lax.Precision.DEFAULT,
-}[os.environ.get("EIDOLA_MT_PREC", "default")]
+}[_MT_PREC_STR]
 
 
 def build_cmat(row, n_tris):

@@ -77,9 +77,10 @@ class RenderConfig:
     # frame (gbuf.tri) against the new primary ray; a hit is a real
     # intersection, so its t is a valid upper bound — the walk prunes
     # everything behind it from step 0.  Exact (the closest hit is <= any
-    # seed), temporally coherent scenes skip most primary leaf events.
-    # Flattened scenes only (instanced seeding would need an object-space
-    # re-test); off until the TPU A/B (tools/perf_frame.py primary_seed).
+    # seed); instanced scenes re-test in instance object space; with
+    # alpha geometry only OPAQUE predicted hits seed (an alpha hit could
+    # be HitTest-discarded, so its t must not bound the re-trace).
+    # Measured: -33%/-49% primary leaf events (PERF_NOTES primary_seed).
     primary_seed: bool = False
     # DI shadow-ray visibility reuse cadence: 1 = validate the RIS winner
     # with a shadow ray every frame (reference behavior,
@@ -114,8 +115,10 @@ class RenderParams(NamedTuple):
     hdr_multiplier: jnp.ndarray     # f32
     environment_prob: jnp.ndarray   # f32 chance to sample env light (default .25)
     reservoir_clamp: jnp.ndarray    # f32 temporal M-clamp multiplier (~20; M*clamp=80)
-    env_map_lumin_integ_inv: jnp.ndarray  # f32 1/integral of env luminance
-    env_map_avg_lumin_inv: jnp.ndarray    # f32
+    # NOTE: the reference's envMapLuminIntegInv / lightLuminIntegInv push
+    # constants (host_device.h:225-226) have no analog here BY DESIGN:
+    # env_pdf (scene/hdr.py) bakes the luminance normalization into the
+    # alias table's pdf column, so the per-sample multiply disappears.
     # denoiser edge-stopping sigmas (ref RtxState: 6 sigmas, sample_gui.cpp:176-203)
     sigma_lum_direct: jnp.ndarray
     sigma_norm_direct: jnp.ndarray
@@ -134,8 +137,6 @@ def default_params(time_word: int = 0) -> RenderParams:
         hdr_multiplier=f32(1.0),
         environment_prob=f32(0.25),
         reservoir_clamp=f32(20.0),
-        env_map_lumin_integ_inv=f32(1.0),
-        env_map_avg_lumin_inv=f32(1.0),
         sigma_lum_direct=f32(4.0),
         sigma_norm_direct=f32(128.0),
         sigma_depth_direct=f32(2.0),

@@ -158,25 +158,40 @@ def direct_stage(
 
     rng_state, o, d = spawn_rays(cam, h, w, rng_state)
     t_max0 = jnp.full((h, w), _TMAX)
-    if (cfg.primary_seed and scene.inst is None
-            and not cfg.alpha_geometry
-            and scene.bvh.slot_of_tri is not None):
-        # (alpha_geometry excluded: a predicted hit that gets alpha-
-        # discarded must not bound the re-trace past it)
+    if cfg.primary_seed and scene.bvh.slot_of_tri is not None:
         # re-test LAST frame's hit triangle at this pixel: a hit is a real
         # intersection of the CURRENT ray, so its t is an exact upper
-        # bound — the walk prunes everything behind it from step 0
+        # bound — the walk prunes everything behind it from step 0.
+        # Instanced scenes re-test in the instance's OBJECT space (the
+        # unnormalized transformed direction keeps t identical across
+        # spaces, ops/bvh_instanced.py design note).
         from ..ops.intersect import ray_triangle
 
         pt = prev_gbuf.tri
-        slot = scene.bvh.slot_of_tri[jnp.maximum(pt, 0)]
+        ptc = jnp.maximum(pt, 0)
+        slot = scene.bvh.slot_of_tri[ptc]
         row = scene.bvh.leaf_blocks.reshape(-1, 12)[slot]      # (H, W, 12)
+        if scene.inst is None:
+            o_t, d_t = o, d
+        else:
+            xf = scene.bvh.inst_inv[scene.bvh.inst_of_tri[ptc]]  # (H,W,12)
+            r = xf.reshape(xf.shape[:-1] + (3, 4))
+            o_t = jnp.einsum("...ij,...j->...i", r[..., :3], o) + r[..., 3]
+            d_t = jnp.einsum("...ij,...j->...i", r[..., :3], d)
         p_hit, p_t, _, _ = ray_triangle(
-            o, d, row[..., 0:3], row[..., 3:6], row[..., 6:9], _TMIN, _TMAX
+            o_t, d_t, row[..., 0:3], row[..., 3:6], row[..., 6:9],
+            _TMIN, _TMAX,
         )
-        t_max0 = jnp.where(
-            (pt >= 0) & p_hit, p_t * (1.0 + 1e-4) + 1e-6, t_max0
-        )
+        ok = (pt >= 0) & p_hit
+        if cfg.alpha_geometry:
+            # only OPAQUE predicted hits may bound the trace: an alpha
+            # hit could be discarded by HitTest, and a bound at its t
+            # would wrongly cut the re-trace past it
+            from ..scene.data import shade_row
+
+            arow, _ = shade_row(scene, ptc)
+            ok &= scene.materials.alpha_mode[scene.tri_mat[arow]] == 0
+        t_max0 = jnp.where(ok, p_t * (1.0 + 1e-4) + 1e-6, t_max0)
     rng_state, rec = trace_closest(
         cfg, scene, o, d, jnp.full((h, w), _TMIN), t_max0,
         rng_state, coherent=True,

@@ -81,10 +81,15 @@ def get_state(scene: SceneData, o, d, tri, t, u, v, cone_angle=None) -> State:
     geo = octa.decode_unit_u32(scene.tri_gn[tid])
     if inst_id is not None:
         # pools store OBJECT-space directions: rotate to world (rotation is
-        # linear, so rotating the barycentric mix == mixing rotated verts)
+        # linear, so rotating the barycentric mix == mixing rotated verts).
+        # det_sign: mirrored instances flip winding, so the GEOMETRIC
+        # normal (cross of world edges in the reference / baked path)
+        # flips relative to the normal-matrix image of the object gn
         nr = scene.inst.nrm_rot[inst_id]              # (..., 9)
         nrm = rot_apply(nr, nrm)
-        geo = normalize(rot_apply(nr, geo))
+        geo = normalize(
+            rot_apply(nr, geo) * scene.inst.det_sign[inst_id][..., None]
+        )
     nrm = normalize(nrm)
     flip = dot3(geo, d) > 0.0
     geo_n = jnp.where(flip[..., None], -geo, geo)
@@ -122,8 +127,10 @@ def get_state(scene: SceneData, o, d, tri, t, u, v, cone_angle=None) -> State:
     tangent = _bary_mix(tan_verts, u, v)
     hand = _bary_mix(scene.tri_hand[tid][..., None], u, v)[..., 0]
     if inst_id is not None:
+        # world-space cross(n_w, t_w) below already carries a mirrored
+        # instance's det sign — same TBN semantics as the reference's
+        # shader and as the flattened (baked) path (PARITY r3 gap #3)
         tangent = rot_apply(scene.inst.rot[inst_id], tangent)
-        hand = hand * scene.inst.hand_flip[inst_id]
     tangent = normalize(tangent)
     # orthogonalize against the shading normal
     tangent = normalize(tangent - shade_n * dot3(tangent, shade_n)[..., None])

@@ -125,8 +125,15 @@ class Instancing(NamedTuple):
     attr_base: jnp.ndarray   # (I,) i32 attr-pool row base of the mesh
     rot: jnp.ndarray         # (I, 9) f32 object->world linear part (row-major)
     nrm_rot: jnp.ndarray     # (I, 9) f32 inverse-transpose (normal matrix)
-    hand_flip: jnp.ndarray   # (I,) f32 sign(det): mirrored instances flip
-    #                          the bitangent handedness
+    # sign(det): a mirrored instance flips triangle WINDING, so the
+    # GEOMETRIC normal (cross of world edges, which the reference and the
+    # flattened path compute directly: shade_state.glsl) flips relative
+    # to the normal-matrix-rotated object gn.  Applied to geo_nrm ONLY —
+    # vertex normals are covectors (normal matrix, no flip) and the
+    # bitangent's world cross(n_w, t_w) carries the det sign by itself
+    # (round 3's extra hand_flip on tangent w double-flipped; fixed r4,
+    # PARITY gap #3).
+    det_sign: jnp.ndarray    # (I,) f32 sign(det(rot))
     area_scale: jnp.ndarray  # (I,) f32 world/object triangle-area ratio
     #                          (|det|^(2/3); exact for uniform scales)
     uvd_scale: jnp.ndarray   # (I,) f32 1/sqrt(area_scale): uv-density factor
@@ -633,7 +640,7 @@ def upload_scene_instanced(
         attr_base=attr_base_mesh[mesh_of].astype(np.int32),
         rot=rot.reshape(I, 9).astype(np.float32),
         nrm_rot=nrm_rot.reshape(I, 9).astype(np.float32),
-        hand_flip=np.sign(det).astype(np.float32),
+        det_sign=np.sign(det).astype(np.float32),
         area_scale=area_scale.astype(np.float32),
         uvd_scale=(1.0 / np.sqrt(np.maximum(area_scale, 1e-20))).astype(
             np.float32
@@ -665,5 +672,18 @@ def upload_scene_instanced(
 def attach_env(scene: SceneData, env: EnvMap) -> SceneData:
     """Swap the HDR environment on a loaded scene (ref
     SampleExample::loadEnvironmentHdr + updateHdrDescriptors,
-    sample_example.cpp:97-106,141-151)."""
+    sample_example.cpp:97-106,141-151).  Callers that hold RenderParams
+    should pass them through `env_params` afterwards — the reference
+    re-derives the firefly clamp from the env integral on every HDR load."""
     return scene._replace(env=env)
+
+
+def env_params(params, env: EnvMap):
+    """Re-derive env-dependent RenderParams after an HDR (re)load:
+    fireflyClampThreshold = 4 x env luminance integral (ref
+    SampleExample::loadEnvironmentHdr, sample_example.cpp:104)."""
+    import jax.numpy as jnp
+
+    return params._replace(
+        firefly_clamp=jnp.asarray(4.0 * float(env.integral), jnp.float32)
+    )

@@ -13,6 +13,7 @@ published constants.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -140,13 +141,27 @@ def _irradiance(p: SunSkyParams, sun, T):
 def finalize_sunsky(p: SunSkyParams) -> SunSkyParams:
     """Precompute the param-only derived quantities (ground irradiance) so
     the per-ray sky evaluation stays small in the traced graph.  Called by
-    upload_scene; call again after _replace-ing sky fields."""
-    T = jnp.maximum(jnp.asarray(p.turbidity, jnp.float32), 2.0)
-    sun = normalize(jnp.asarray(p.sun_direction, jnp.float32))
-    sun_c = normalize(
-        jnp.stack([sun[0], jnp.maximum(sun[1], 0.001), sun[2]])
-    )
-    irr = np.asarray(_irradiance(p, sun_c, T), np.float32)
+    upload_scene; call again after _replace-ing sky fields.
+
+    The 75-float quadrature runs as ONE jitted program ON THE HOST CPU
+    backend: dispatched eagerly on a tunneled TPU it is dozens of tiny
+    ops, each a separate remote compile + round trip (measured ~23-60 s
+    of a TPU-side scene build; milliseconds on local CPU)."""
+
+    def _quad(p):
+        T = jnp.maximum(jnp.asarray(p.turbidity, jnp.float32), 2.0)
+        sun = normalize(jnp.asarray(p.sun_direction, jnp.float32))
+        sun_c = normalize(
+            jnp.stack([sun[0], jnp.maximum(sun[1], 0.001), sun[2]])
+        )
+        return _irradiance(p, sun_c, T)
+
+    try:
+        cpu = jax.devices("cpu")[0]
+        host_p = jax.tree.map(np.asarray, p)
+        irr = np.asarray(jax.jit(_quad, device=cpu)(host_p), np.float32)
+    except RuntimeError:  # no cpu backend registered: run where we are
+        irr = np.asarray(jax.jit(_quad)(p), np.float32)
     return p._replace(ground_irradiance=irr)
 
 

@@ -49,6 +49,20 @@ class TestRadianceHdr:
             2.0 * 4.0 * np.pi, rel=0.05
         )
 
+    def test_env_params_sets_firefly_clamp(self):
+        """HDR (re)load derives fireflyClampThreshold = 4 x env integral
+        (ref SampleExample::loadEnvironmentHdr, sample_example.cpp:104)."""
+        from eidola_tpu.render.config import default_params
+        from eidola_tpu.scene.data import env_params
+        from eidola_tpu.scene.hdr import build_env_map
+
+        img = np.full((4, 8, 3), 2.0, np.float32)
+        env = build_env_map(img)
+        p = env_params(default_params(), env)
+        assert float(p.firefly_clamp) == pytest.approx(
+            4.0 * float(env.integral), rel=1e-6
+        )
+
 
 class TestPicker:
     def test_pick_center_hits_scene(self):

@@ -301,6 +301,64 @@ class TestSeededTmax:
             np.asarray(rec.t), np.asarray(rec3.t), rtol=1e-6
         )
 
+    def test_seeded_tmax_instanced(self):
+        """Instanced seeding: the global-tri -> (pool slot, instance)
+        tables re-test last frame's hit in instance OBJECT space with the
+        unnormalized transformed ray — the bound is a world-space t, and
+        the seeded re-trace returns identical hits."""
+        from eidola_tpu.ops.bvh_instanced import (
+            build_instanced_bvh, closest_hit_instanced,
+        )
+        from eidola_tpu.ops.intersect import ray_triangle
+
+        a, b, c = _random_tris(160, seed=51)
+        rng = np.random.default_rng(52)
+        mats = []
+        for k in range(5):
+            th = rng.uniform(0, 2 * np.pi)
+            m = np.eye(4)
+            m[:3, :3] = np.asarray([
+                [np.cos(th), 0, np.sin(th)],
+                [0, 1, 0],
+                [-np.sin(th), 0, np.cos(th)],
+            ]) * rng.uniform(0.6, 1.6)
+            m[:3, 3] = rng.uniform(-3, 3, 3)
+            mats.append(m)
+        ib = build_instanced_bvh([(a, b, c)], [(0, m) for m in mats])
+        assert ib.slot_of_tri is not None and ib.inst_of_tri is not None
+
+        o, d = _random_rays(1024, seed=53)
+        tmin = jnp.zeros(1024)
+        tmax = jnp.full(1024, 1e9)
+        rec = closest_hit_instanced(ib, o, d, tmin, tmax)
+
+        ptc = jnp.maximum(rec.tri, 0)
+        slot = ib.slot_of_tri[ptc]
+        row = ib.leaf_blocks.reshape(-1, 12)[slot]
+        xf = ib.inst_inv[ib.inst_of_tri[ptc]].reshape(-1, 3, 4)
+        o_t = jnp.einsum("nij,nj->ni", xf[..., :3], o) + xf[..., 3]
+        d_t = jnp.einsum("nij,nj->ni", xf[..., :3], d)
+        p_hit, p_t, _, _ = ray_triangle(
+            o_t, d_t, row[..., 0:3], row[..., 3:6], row[..., 6:9],
+            tmin, tmax,
+        )
+        hits = np.asarray(rec.tri) >= 0
+        assert hits.sum() > 100
+        # the re-test must re-find the hit triangle at the same world t
+        np.testing.assert_array_equal(
+            np.asarray(p_hit)[hits], True
+        )
+        np.testing.assert_allclose(
+            np.asarray(p_t)[hits], np.asarray(rec.t)[hits], rtol=2e-4
+        )
+        seeded = jnp.where(
+            (rec.tri >= 0) & p_hit, p_t * (1.0 + 1e-4) + 1e-6, tmax
+        )
+        rec2 = closest_hit_instanced(ib, o, d, tmin, seeded)
+        np.testing.assert_array_equal(
+            np.asarray(rec.tri), np.asarray(rec2.tri)
+        )
+
 
 class TestSBVH:
     """Spatial-split build (build_bvh(spatial=True) / EIDOLA_SBVH=1):

@@ -99,6 +99,51 @@ class TestFusedDrain:
         # boundary scatter merge and the kernel's per-call seg reset
         self._cols_vs_fused(900, 4096, seed=13)
 
+    def test_bf16_table_close_to_cols(self, monkeypatch):
+        """The shipped TPU numerics (EIDOLA_CMAT=auto -> bf16 table) are
+        otherwise only exercised on hardware: CPU CI always picks the f32
+        branch.  Force the bf16 table in interpret mode and bound its
+        error against the f32 cols oracle — winners may flip on grazing
+        tie-breaks, hit t of agreeing winners stays within bf16 rounding
+        (~0.4% relative, PERF_NOTES 'MT dot precision')."""
+        import eidola_tpu.ops.bvh_fused as BF
+
+        monkeypatch.setattr(BF, "_CMAT", "bf16")
+        v0, v1, v2 = _random_tris(400, seed=41)
+        o, d = _random_rays(512, seed=42)
+        old = B.MT_MODE
+        try:
+            B.MT_MODE = "cols"
+            rec_c = jax.tree.map(
+                np.asarray,
+                closest_hit(build_bvh(v0, v1, v2), o, d, 1e-4, 1e30),
+            )
+            B.MT_MODE = "fused"
+            bvh = build_bvh(v0, v1, v2)
+            assert bvh.leaf_cmat.dtype == jnp.bfloat16
+            rec_f = jax.tree.map(
+                np.asarray, closest_hit(bvh, o, d, 1e-4, 1e30)
+            )
+        finally:
+            B.MT_MODE = old
+        hits = rec_c.tri >= 0
+        assert hits.sum() > 50
+        # miss/hit flips only on grazing rays; allow a small fraction
+        assert (hits == (rec_f.tri >= 0)).mean() > 0.97
+        both = hits & (rec_f.tri >= 0)
+        same = both & (rec_c.tri == rec_f.tri)
+        # winner flips concentrate where two hits are nearly tied in t, so
+        # even flipped rays must stay close to the oracle's hit distance
+        assert same.sum() / both.sum() > 0.95
+        rel = np.abs(rec_f.t[both] - rec_c.t[both]) / rec_c.t[both]
+        assert np.median(rel) < 5e-3, np.median(rel)
+        assert np.quantile(rel, 0.95) < 5e-2, np.quantile(rel, 0.95)
+        # flipped winners may land on a farther surface (grazing hit
+        # rounds to a miss) — the max bound only makes sense same-winner
+        rel_same = (np.abs(rec_f.t[same] - rec_c.t[same])
+                    / rec_c.t[same])
+        assert rel_same.max() < 0.1, rel_same.max()
+
     def test_instanced_matches_flat(self, fused_mode):
         from eidola_tpu.ops.bvh_instanced import (
             build_instanced_bvh, closest_hit_instanced,

@@ -152,6 +152,53 @@ class TestInstancedShadingParity:
             want = flat_pmf[k * Tm: (k + 1) * Tm]
             np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-9)
 
+    def test_mirrored_instance_tbn_matches_flattened(self):
+        """A mirrored (negative-determinant) instance must shade normal-
+        mapped geometry exactly like the same geometry baked to world:
+        the world-space cross(n_w, t_w) carries the mirror's sign itself
+        (PARITY r3 known gap #3 — no extra hand_flip factor)."""
+        mesh = _mesh(n=40, seed=8)
+        m = _xform(43)
+        m[:3, 0] *= -1.0            # mirror across x
+        assert np.linalg.det(m[:3, :3]) < 0
+        # a non-flat normal map so a TBN sign error changes the output
+        r = np.random.default_rng(9)
+        nm = np.zeros((8, 8, 4), np.float32)
+        v = r.normal(size=(8, 8, 3)).astype(np.float32) * 0.4
+        v[..., 2] = 1.0
+        v /= np.linalg.norm(v, axis=-1, keepdims=True)
+        nm[..., :3] = v * 0.5 + 0.5
+        nm[..., 3] = 1.0
+        mats = [dict(MATERIALS[0], normal_tex=0), MATERIALS[1]]
+
+        inst_scene = upload_scene_instanced(
+            [mesh], [(0, m)], materials=mats, textures=[nm]
+        )
+        flat = _bake(mesh, m)
+        flat_scene = upload_scene(
+            flat["v0"].astype(np.float32), flat["v1"].astype(np.float32),
+            flat["v2"].astype(np.float32),
+            normals=flat["normals"], uvs=flat["uvs"],
+            tangents=flat["tangents"], colors=flat["colors"],
+            mat_ids=flat["mat_ids"], materials=mats, textures=[nm],
+        )
+        rr = np.random.default_rng(51)
+        o = rr.uniform(-6, 6, (256, 3)).astype(np.float32)
+        # aim at the instance (a single small mesh: undirected rays miss)
+        tgt = (m[:3, 3] + rr.uniform(-1, 1, (256, 3))).astype(np.float32)
+        d = tgt - o
+        d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+        o = jnp.asarray(o)
+        ri, si = _trace_shade(inst_scene, o, d)
+        rf, sf = _trace_shade(flat_scene, o, d)
+        hit = np.asarray(rf.tri) >= 0
+        same = hit & (np.asarray(ri.tri) == np.asarray(rf.tri))
+        assert same.sum() > 20
+        np.testing.assert_allclose(
+            np.asarray(si.nrm)[same], np.asarray(sf.nrm)[same],
+            rtol=2e-3, atol=2e-3,
+        )
+
     def test_memory_is_shared(self, scenes):
         inst_scene, flat_scene = scenes
         assert inst_scene.tri_mat.shape[0] * 3 == flat_scene.tri_mat.shape[0]

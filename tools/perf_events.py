@@ -40,14 +40,14 @@ def main():
     ap.add_argument("--which", default="all", help="all | prim | occl | bounce")
     args = ap.parse_args()
 
-    from eidola_tpu.models.scenes import bistro_standin, stress_grid
+    from eidola_tpu.models.scenes import load_scene, stress_grid
     from eidola_tpu.ops import rng as erng
     from eidola_tpu.ops.bvh import any_hit_stats, closest_hit_stats
     from eidola_tpu.ops.packets import ray_sort_keys, to_tiles
     from eidola_tpu.scene.camera import spawn_rays
 
     w, h = args.size
-    scene, cam = (bistro_standin() if args.scene == "bistro"
+    scene, cam = (load_scene("bistro_flat") if args.scene == "bistro"
                   else stress_grid(args.grid))
     n = w * h
     oct_on = scene.bvh.walk_oct is not None

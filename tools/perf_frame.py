@@ -32,11 +32,12 @@ def time_cfg(scene, cam, cfg, iters=4, warmup=2):
 
 
 def main():
-    from eidola_tpu.models.scenes import bistro_standin, stress_grid
+    from eidola_tpu.models.scenes import load_scene, stress_grid
     from eidola_tpu.render.config import RESTIR_NONE, RenderConfig
 
-    if os.environ.get("EIDOLA_BENCH_SCENE") == "bistro":
-        scene, cam = bistro_standin()
+    bs = os.environ.get("EIDOLA_BENCH_SCENE")
+    if bs in ("bistro", "bistro_flat", "bistro_standin"):
+        scene, cam = load_scene("bistro_flat" if bs == "bistro" else bs)
     else:
         scene, cam = stress_grid(16)
     print(f"tris={int(scene.bvh.n_tris)}")

@@ -34,12 +34,12 @@ def main():
     ap.add_argument("--size", type=int, nargs=2, default=[1920, 1080])
     ap.add_argument("--which", default="all")
     ap.add_argument("--scene", default="stress",
-                    help="stress | bistro (2.83M-tri bench scene)")
+                    help="stress | bistro_flat | bistro_standin (2.83M-tri honest bench scene)")
     ap.add_argument("--trav", default="binary",
                     help="binary | wide (4-ary collapse, ops/bvh_wide.py)")
     args = ap.parse_args()
 
-    from eidola_tpu.models.scenes import bistro_standin, stress_grid
+    from eidola_tpu.models.scenes import load_scene, stress_grid
     from eidola_tpu.ops import rng as erng
     from eidola_tpu.ops.packets import (
         any_hit_img, closest_hit_img, closest_hit_sorted,
@@ -47,8 +47,8 @@ def main():
     from eidola_tpu.scene.camera import spawn_rays
 
     w, h = args.size
-    if args.scene == "bistro":
-        scene, cam = bistro_standin()
+    if args.scene in ("bistro", "bistro_flat", "bistro_standin"):
+        scene, cam = load_scene("bistro_flat" if args.scene == "bistro" else args.scene)
     else:
         scene, cam = stress_grid(args.grid)
     if args.trav == "wide":
