@@ -534,219 +534,340 @@ def _traverse(bvh, o, d, t_min, t_max, any_hit: bool, max_steps: int,
             + 4 * (jnp.sum(dz < 0.0, axis=1) > half_p).astype(jnp.int32)
         )
 
-    G = max(PACKET // SUBW, 1)
-    n_sp = n_pkt * G
-    k_iota = jax.lax.broadcasted_iota(jnp.int32, (n_sp, QUEUE), 1)
-
-    def walk_rounds(carry):
-        def w_cond(c):
-            node, cnt, step = c[0], c[6], c[7]
-            return jnp.any(node >= 0) & jnp.all(cnt < QUEUE) & (step < max_steps)
-
-        def w_body(c):
-            (node, t_best, tri_best, u_best, v_best, queue, cnt, step,
-             ev_total, chunks, live_steps) = c
-            live = node >= 0
-            # live-packet integral: sum over steps of live packets — the
-            # dense walk streams ALL n_pkt packets every step, so
-            # steps * n_pkt / live_steps is the compaction headroom
-            live_steps = live_steps + jnp.sum(live.astype(jnp.int32))
-            nid = jnp.maximum(node, 0)
-            if walk_tab is not None:
-                row = walk_tab[oct_base + nid]        # ONE gather: (n_pkt, 8)
-            else:
-                row = bvh.walk[nid]                   # ONE gather: (n_pkt, 8)
-            col = lambda i: row[:, i : i + 1]
-            tx0 = (col(0) - ox) * ix
-            tx1 = (col(3) - ox) * ix
-            ty0 = (col(1) - oy) * iy
-            ty1 = (col(4) - oy) * iy
-            tz0 = (col(2) - oz) * iz
-            tz1 = (col(5) - oz) * iz
-            t_near = jnp.maximum(
-                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-                jnp.minimum(tz0, tz1),
-            )
-            t_far = jnp.minimum(
-                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-                jnp.maximum(tz0, tz1),
-            )
-            ray_hit = (t_near <= t_far) & (t_far >= t_min) & (t_near <= t_best)
-            sub_hit = jnp.any(ray_hit.reshape(n_pkt, G, SUBW), axis=2)
-            pkt_hit = jnp.any(sub_hit, axis=1) & live
-
-            miss = jax.lax.bitcast_convert_type(row[:, 6], jnp.int32)
-            leaf_id = jax.lax.bitcast_convert_type(row[:, 7], jnp.int32)
-            is_leaf = leaf_id >= 0
-
-            # push the event ONLY into sub-packets whose own rays overlap
-            push = (sub_hit & (pkt_hit & is_leaf)[:, None]).reshape(n_sp)
-            leaf_sp = jnp.broadcast_to(
-                leaf_id[:, None], (n_pkt, G)
-            ).reshape(n_sp)
-            queue = jnp.where(
-                (push & (cnt <= QUEUE - 1))[:, None] & (k_iota == cnt[:, None]),
-                leaf_sp[:, None],
-                queue,
-            )
-            cnt = cnt + push.astype(jnp.int32)
-
-            nxt = jnp.where(pkt_hit & ~is_leaf, nid + 1, miss)
-            node = jnp.where(live, nxt, node)
-            return (node, t_best, tri_best, u_best, v_best, queue, cnt,
-                    step + 1, ev_total, chunks, live_steps)
-
-        return jax.lax.while_loop(w_cond, w_body, carry)
-
     leaf_size = bvh.leaf_size
-    leaf_rows = bvh.leaf_blocks
-    CE = CHUNK                     # sub-events per drain step
-    assert CE % G == 0
-    CR = CE // G                   # dense 128-lane rows per drain step
+    full = dict(ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz,
+                ix=ix, iy=iy, iz=iz, t_min=t_min)
+    if walk_tab is not None:
+        full["oct"] = oct_base
 
-    # (n_sp, SUBW) views for per-sub-event ray gathers
-    def spv(a):
-        return a.reshape(n_sp, SUBW)
+    def run_stage(S, carry_rounds, next_cap):
+        """One compaction stage: the walk/drain loop over S's packet
+        arrays, running until the live-packet count fits next_cap (0 =
+        run to completion) or the step budget is spent."""
+        ox, oy, oz = S["ox"], S["oy"], S["oz"]
+        dx, dy, dz = S["dx"], S["dy"], S["dz"]
+        ix, iy, iz = S["ix"], S["iy"], S["iz"]
+        t_min = S["t_min"]
+        oct_base = S.get("oct")
+        n_pkt = ox.shape[0]
+        G = max(PACKET // SUBW, 1)
+        n_sp = n_pkt * G
+        k_iota = jax.lax.broadcasted_iota(jnp.int32, (n_sp, QUEUE), 1)
 
-    oxs, oys, ozs = spv(ox), spv(oy), spv(oz)
-    dxs, dys, dzs = spv(dx), spv(dy), spv(dz)
-    tmins = spv(t_min)
+        def walk_rounds(carry):
+            def w_cond(c):
+                node, cnt, step = c[0], c[6], c[7]
+                return jnp.any(node >= 0) & jnp.all(cnt < QUEUE) & (step < max_steps)
 
-    def expand_ev(x):
-        """(CE,) per-event value -> (CR, PACKET) dense broadcast (each event
-        owns one SUBW-lane group)."""
-        return jnp.broadcast_to(
-            x.reshape(CR, G, 1), (CR, G, SUBW)
-        ).reshape(CR, PACKET)
-
-    def shift_ev(a, sh_ev, fill):
-        """Shift (CR, PACKET) by sh_ev EVENTS (= sh_ev * SUBW lanes in the
-        flat event-major layout)."""
-        flat = a.reshape(CE * SUBW)
-        return jnp.concatenate(
-            [jnp.full(sh_ev * SUBW, fill, a.dtype), flat[: -sh_ev * SUBW]]
-        ).reshape(CR, PACKET)
-
-    def drain_skip(carry):
-        """Measurement-only mode (EIDOLA_DRAIN=skip): drop queued events
-        without intersecting — isolates walk cost.  WRONG results."""
-        (node, t_best, tri_best, u_best, v_best, queue, cnt, step,
-         ev_total, chunks, live_steps) = carry
-        ev_total = ev_total + jnp.sum(cnt)
-        cnt = jnp.zeros_like(cnt)
-        return (node, t_best, tri_best, u_best, v_best, queue, cnt, step,
-                ev_total, chunks, live_steps)
-
-    def drain_flat(carry):
-        (node, t_best, tri_best, u_best, v_best, queue, cnt, step,
-         ev_total, chunks, live_steps) = carry
-        offsets = jnp.concatenate(
-            [jnp.zeros(1, jnp.int32), jnp.cumsum(cnt, dtype=jnp.int32)]
-        )
-        total = offsets[-1]
-        c_iota = jax.lax.broadcasted_iota(jnp.int32, (CE, 1), 0)[:, 0]
-
-        def d_cond(c):
-            return c[0] * CE < total
-
-        def d_body(c):
-            ci, t_best, tri_best, u_best, v_best = c
-            s = ci * CE + c_iota                     # (CE,) sub-event slots
-            valid = s < total
-            sp = (
-                jnp.searchsorted(offsets, s, side="right").astype(jnp.int32)
-                - 1
-            )
-            sp = jnp.clip(sp, 0, n_sp - 1)
-            j = jnp.clip(s - offsets[sp], 0, QUEUE - 1)
-            leaf = queue[sp, j]                      # (CE,)
-            from .bvh_fused import EB as _FEB
-
-            use_fused = (
-                _fused_mt_active()
-                and SUBW == PACKET
-                and CE % _FEB == 0
-                and getattr(bvh, "leaf_cmat", None) is not None
-            )
-            if inst is None:
-                dma_row = leaf
-                if not use_fused:
-                    row = leaf_rows[leaf]            # (CE, leaf_size*12)
-            else:
-                dma_row = inst.leaf_mesh_row[leaf]
-                if not use_fused:
-                    row = leaf_rows[dma_row]
-                xf = inst.inst_inv[inst.leaf_inst[leaf]]   # (CE, 12)
-
-            def g(a):
-                # (CE, SUBW) sub-event lanes packed dense as (CR, PACKET)
-                return a[sp].reshape(CR, PACKET)
-
-            tb_s = spv(t_best)
-            tri_s = spv(tri_best)
-            us_ = spv(u_best)
-            vs_ = spv(v_best)
-            gox, goy, goz = g(oxs), g(oys), g(ozs)
-            gdx, gdy, gdz = g(dxs), g(dys), g(dzs)
-            gtmin, gtb = g(tmins), g(tb_s)
-            if inst is not None:
-                # rays -> instance object space (unnormalized direction
-                # keeps hit t identical across spaces)
-                xc = lambda i: expand_ev(xf[:, i])
-                gox, goy, goz = (
-                    xc(0) * gox + xc(1) * goy + xc(2) * goz + xc(3),
-                    xc(4) * gox + xc(5) * goy + xc(6) * goz + xc(7),
-                    xc(8) * gox + xc(9) * goy + xc(10) * goz + xc(11),
+            def w_body(c):
+                (node, t_best, tri_best, u_best, v_best, queue, cnt, step,
+                 ev_total, chunks, live_steps) = c
+                live = node >= 0
+                # live-packet integral: sum over steps of live packets — the
+                # dense walk streams ALL n_pkt packets every step, so
+                # steps * n_pkt / live_steps is the compaction headroom
+                live_steps = live_steps + jnp.sum(live.astype(jnp.int32))
+                nid = jnp.maximum(node, 0)
+                if walk_tab is not None:
+                    row = walk_tab[oct_base + nid]        # ONE gather: (n_pkt, 8)
+                else:
+                    row = bvh.walk[nid]                   # ONE gather: (n_pkt, 8)
+                col = lambda i: row[:, i : i + 1]
+                tx0 = (col(0) - ox) * ix
+                tx1 = (col(3) - ox) * ix
+                ty0 = (col(1) - oy) * iy
+                ty1 = (col(4) - oy) * iy
+                tz0 = (col(2) - oz) * iz
+                tz1 = (col(5) - oz) * iz
+                t_near = jnp.maximum(
+                    jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                    jnp.minimum(tz0, tz1),
                 )
-                gdx, gdy, gdz = (
-                    xc(0) * gdx + xc(1) * gdy + xc(2) * gdz,
-                    xc(4) * gdx + xc(5) * gdy + xc(6) * gdz,
-                    xc(8) * gdx + xc(9) * gdy + xc(10) * gdz,
+                t_far = jnp.minimum(
+                    jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                    jnp.maximum(tz0, tz1),
                 )
+                ray_hit = (t_near <= t_far) & (t_far >= t_min) & (t_near <= t_best)
+                sub_hit = jnp.any(ray_hit.reshape(n_pkt, G, SUBW), axis=2)
+                pkt_hit = jnp.any(sub_hit, axis=1) & live
 
-            valid_d = expand_ev(valid.astype(jnp.int32)) > 0
-            if any_hit:
-                # occlusion events: boolean sign-based MT (no divides, no
-                # payload), segmented prefix-OR on ONE channel instead of
-                # the 4-channel prefix-min — blocker identity is never used
+                miss = jax.lax.bitcast_convert_type(row[:, 6], jnp.int32)
+                leaf_id = jax.lax.bitcast_convert_type(row[:, 7], jnp.int32)
+                is_leaf = leaf_id >= 0
+
+                # push the event ONLY into sub-packets whose own rays overlap
+                push = (sub_hit & (pkt_hit & is_leaf)[:, None]).reshape(n_sp)
+                leaf_sp = jnp.broadcast_to(
+                    leaf_id[:, None], (n_pkt, G)
+                ).reshape(n_sp)
+                queue = jnp.where(
+                    (push & (cnt <= QUEUE - 1))[:, None] & (k_iota == cnt[:, None]),
+                    leaf_sp[:, None],
+                    queue,
+                )
+                cnt = cnt + push.astype(jnp.int32)
+
+                nxt = jnp.where(pkt_hit & ~is_leaf, nid + 1, miss)
+                node = jnp.where(live, nxt, node)
+                return (node, t_best, tri_best, u_best, v_best, queue, cnt,
+                        step + 1, ev_total, chunks, live_steps)
+
+            return jax.lax.while_loop(w_cond, w_body, carry)
+
+        leaf_size = bvh.leaf_size
+        leaf_rows = bvh.leaf_blocks
+        CE = CHUNK                     # sub-events per drain step
+        assert CE % G == 0
+        CR = CE // G                   # dense 128-lane rows per drain step
+
+        # (n_sp, SUBW) views for per-sub-event ray gathers
+        def spv(a):
+            return a.reshape(n_sp, SUBW)
+
+        oxs, oys, ozs = spv(ox), spv(oy), spv(oz)
+        dxs, dys, dzs = spv(dx), spv(dy), spv(dz)
+        tmins = spv(t_min)
+
+        def expand_ev(x):
+            """(CE,) per-event value -> (CR, PACKET) dense broadcast (each event
+            owns one SUBW-lane group)."""
+            return jnp.broadcast_to(
+                x.reshape(CR, G, 1), (CR, G, SUBW)
+            ).reshape(CR, PACKET)
+
+        def shift_ev(a, sh_ev, fill):
+            """Shift (CR, PACKET) by sh_ev EVENTS (= sh_ev * SUBW lanes in the
+            flat event-major layout)."""
+            flat = a.reshape(CE * SUBW)
+            return jnp.concatenate(
+                [jnp.full(sh_ev * SUBW, fill, a.dtype), flat[: -sh_ev * SUBW]]
+            ).reshape(CR, PACKET)
+
+        def drain_skip(carry):
+            """Measurement-only mode (EIDOLA_DRAIN=skip): drop queued events
+            without intersecting — isolates walk cost.  WRONG results."""
+            (node, t_best, tri_best, u_best, v_best, queue, cnt, step,
+             ev_total, chunks, live_steps) = carry
+            ev_total = ev_total + jnp.sum(cnt)
+            cnt = jnp.zeros_like(cnt)
+            return (node, t_best, tri_best, u_best, v_best, queue, cnt, step,
+                    ev_total, chunks, live_steps)
+
+        def drain_flat(carry):
+            (node, t_best, tri_best, u_best, v_best, queue, cnt, step,
+             ev_total, chunks, live_steps) = carry
+            offsets = jnp.concatenate(
+                [jnp.zeros(1, jnp.int32), jnp.cumsum(cnt, dtype=jnp.int32)]
+            )
+            total = offsets[-1]
+            c_iota = jax.lax.broadcasted_iota(jnp.int32, (CE, 1), 0)[:, 0]
+
+            def d_cond(c):
+                return c[0] * CE < total
+
+            def d_body(c):
+                ci, t_best, tri_best, u_best, v_best = c
+                s = ci * CE + c_iota                     # (CE,) sub-event slots
+                valid = s < total
+                sp = (
+                    jnp.searchsorted(offsets, s, side="right").astype(jnp.int32)
+                    - 1
+                )
+                sp = jnp.clip(sp, 0, n_sp - 1)
+                j = jnp.clip(s - offsets[sp], 0, QUEUE - 1)
+                leaf = queue[sp, j]                      # (CE,)
+                from .bvh_fused import EB as _FEB
+
+                use_fused = (
+                    _fused_mt_active()
+                    and SUBW == PACKET
+                    and CE % _FEB == 0
+                    and getattr(bvh, "leaf_cmat", None) is not None
+                )
+                if inst is None:
+                    dma_row = leaf
+                    if not use_fused:
+                        row = leaf_rows[leaf]            # (CE, leaf_size*12)
+                else:
+                    dma_row = inst.leaf_mesh_row[leaf]
+                    if not use_fused:
+                        row = leaf_rows[dma_row]
+                    xf = inst.inst_inv[inst.leaf_inst[leaf]]   # (CE, 12)
+
+                def g(a):
+                    # (CE, SUBW) sub-event lanes packed dense as (CR, PACKET)
+                    return a[sp].reshape(CR, PACKET)
+
+                tb_s = spv(t_best)
+                tri_s = spv(tri_best)
+                us_ = spv(u_best)
+                vs_ = spv(v_best)
+                gox, goy, goz = g(oxs), g(oys), g(ozs)
+                gdx, gdy, gdz = g(dxs), g(dys), g(dzs)
+                gtmin, gtb = g(tmins), g(tb_s)
+                if inst is not None:
+                    # rays -> instance object space (unnormalized direction
+                    # keeps hit t identical across spaces)
+                    xc = lambda i: expand_ev(xf[:, i])
+                    gox, goy, goz = (
+                        xc(0) * gox + xc(1) * goy + xc(2) * goz + xc(3),
+                        xc(4) * gox + xc(5) * goy + xc(6) * goz + xc(7),
+                        xc(8) * gox + xc(9) * goy + xc(10) * goz + xc(11),
+                    )
+                    gdx, gdy, gdz = (
+                        xc(0) * gdx + xc(1) * gdy + xc(2) * gdz,
+                        xc(4) * gdx + xc(5) * gdy + xc(6) * gdz,
+                        xc(8) * gdx + xc(9) * gdy + xc(10) * gdz,
+                    )
+
+                valid_d = expand_ev(valid.astype(jnp.int32)) > 0
+                if any_hit:
+                    # occlusion events: boolean sign-based MT (no divides, no
+                    # payload), segmented prefix-OR on ONE channel instead of
+                    # the 4-channel prefix-min — blocker identity is never used
+                    if use_fused:
+                        from .bvh_fused import mt_any_fused
+
+                        anchor_row = bvh.leaf_anchor[dma_row]      # (CE, 3)
+                        hit_e = mt_any_fused(
+                            bvh.leaf_cmat, anchor_row, dma_row, sp,
+                            valid.astype(jnp.int32),
+                            gox, goy, goz, gdx, gdy, gdz, gtmin, gtb,
+                            leaf_size,
+                        ) > 0
+                    else:
+                        col = lambda i: expand_ev(row[:, i])
+                        hit_e = _mt_any_cols(
+                            col, leaf_size,
+                            gox, goy, goz, gdx, gdy, gdz, gtmin, gtb,
+                        ) & valid_d
+                        # run length within a chunk is bounded by the queue
+                        # depth (cnt[sp] <= QUEUE events per sub-packet), so
+                        # scan passes beyond sh=QUEUE/2 can never match a
+                        # same-segment pair — 12 doubling passes at CHUNK=4096
+                        # collapse to 5 exact ones
+                        sh = 1
+                        while sh < min(CE, QUEUE):
+                            same = expand_ev(
+                                jnp.concatenate(
+                                    [jnp.zeros(sh, bool), sp[sh:] == sp[:-sh]]
+                                ).astype(jnp.int32)
+                            ) > 0
+                            hit_e = hit_e | (same & shift_ev(hit_e, sh, False))
+                            sh *= 2
+                    nxt_sp = jnp.concatenate(
+                        [sp[1:], jnp.full(1, -1, jnp.int32)]
+                    )
+                    nxt_valid = jnp.concatenate([valid[1:], jnp.zeros(1, bool)])
+                    run_end = valid & ((sp != nxt_sp) | ~nxt_valid)
+                    idx = jnp.where(run_end, sp, n_sp)   # n_sp = dropped
+                    m_t = jnp.where(hit_e, -_BIG, gtb)
+                    m_slot = jnp.where(hit_e, 0, g(tri_s))
+
+                    def scat(best_s, m):
+                        out = best_s.at[idx].set(
+                            m.reshape(CE, SUBW), mode="drop"
+                        )
+                        return out.reshape(n_pkt, PACKET)
+
+                    t_best = scat(tb_s, m_t)
+                    tri_best = scat(tri_s, m_slot)
+                    return ci + 1, t_best, tri_best, u_best, v_best
+
                 if use_fused:
-                    from .bvh_fused import mt_any_fused
+                    # fused table drain: coefficient blocks DMA'd by leaf id,
+                    # per-sub-packet fold runs in-kernel — t_e/slot_e/u_e/v_e
+                    # are already per-row PREFIX folds, so the XLA scan below
+                    # is skipped (run-end scatter consumes them unchanged)
+                    from .bvh_fused import mt_fused
 
-                    anchor_row = bvh.leaf_anchor[dma_row]      # (CE, 3)
-                    hit_e = mt_any_fused(
-                        bvh.leaf_cmat, anchor_row, dma_row, sp,
+                    anchor_row = bvh.leaf_anchor[dma_row]          # (CE, 3)
+                    t_e, slot_e, u_e, v_e = mt_fused(
+                        bvh.leaf_cmat, anchor_row, dma_row, leaf, sp,
                         valid.astype(jnp.int32),
+                        gox, goy, goz, gdx, gdy, gdz, gtmin, gtb, leaf_size,
+                    )
+                    nxt_sp = jnp.concatenate(
+                        [sp[1:], jnp.full(1, -1, jnp.int32)]
+                    )
+                    nxt_valid = jnp.concatenate([valid[1:], jnp.zeros(1, bool)])
+                    run_end = valid & ((sp != nxt_sp) | ~nxt_valid)
+                    idx = jnp.where(run_end, sp, n_sp)   # n_sp = dropped
+                    improved = t_e < gtb
+                    m_t = jnp.where(improved, t_e, gtb)
+                    m_slot = jnp.where(improved, slot_e, g(tri_s))
+                    m_u = jnp.where(improved, u_e, g(us_))
+                    m_v = jnp.where(improved, v_e, g(vs_))
+
+                    def scat_f(best_s, m):
+                        out = best_s.at[idx].set(
+                            m.reshape(CE, SUBW), mode="drop"
+                        )
+                        return out.reshape(n_pkt, PACKET)
+
+                    t_best = scat_f(tb_s, m_t)
+                    tri_best = scat_f(tri_s, m_slot)
+                    u_best = scat_f(us_, m_u)
+                    v_best = scat_f(vs_, m_v)
+                    return ci + 1, t_best, tri_best, u_best, v_best
+
+                use_mxu = MT_MODE == "mxu" or (
+                    MT_MODE == "auto" and jax.default_backend() != "cpu"
+                )
+                if use_mxu and SUBW == PACKET:
+                    # fused Pallas kernel: MXU dot + in-VMEM epilogue/reduce
+                    from .bvh_mxu import mt_mxu
+
+                    t_e, k_e, u_e, v_e = mt_mxu(
+                        row, leaf_size,
                         gox, goy, goz, gdx, gdy, gdz, gtmin, gtb,
-                        leaf_size,
-                    ) > 0
+                    )
+                elif MT_MODE == "matmul" and SUBW == PACKET:
+                    t_e, k_e, u_e, v_e = _mt_matmul(
+                        row, leaf_size,
+                        gox, goy, goz, gdx, gdy, gdz, gtmin, gtb,
+                    )
                 else:
                     col = lambda i: expand_ev(row[:, i])
-                    hit_e = _mt_any_cols(
-                        col, leaf_size,
-                        gox, goy, goz, gdx, gdy, gdz, gtmin, gtb,
-                    ) & valid_d
-                    # run length within a chunk is bounded by the queue
-                    # depth (cnt[sp] <= QUEUE events per sub-packet), so
-                    # scan passes beyond sh=QUEUE/2 can never match a
-                    # same-segment pair — 12 doubling passes at CHUNK=4096
-                    # collapse to 5 exact ones
-                    sh = 1
-                    while sh < min(CE, QUEUE):
-                        same = expand_ev(
-                            jnp.concatenate(
-                                [jnp.zeros(sh, bool), sp[sh:] == sp[:-sh]]
-                            ).astype(jnp.int32)
-                        ) > 0
-                        hit_e = hit_e | (same & shift_ev(hit_e, sh, False))
-                        sh *= 2
+                    t_e, k_e, u_e, v_e = _mt_cols(
+                        col, leaf_size, gox, goy, goz, gdx, gdy, gdz, gtmin, gtb,
+                    )
+                t_e = jnp.where(valid_d, t_e, _BIG)
+                slot_e = expand_ev(leaf) * leaf_size + k_e
+
+                # segmented prefix-min by sub-packet id (events are sp-major;
+                # run length <= QUEUE bounds the scan passes — see any_hit fold)
+                sh = 1
+                while sh < min(CE, QUEUE):
+                    same = expand_ev(
+                        jnp.concatenate(
+                            [jnp.zeros(sh, bool), sp[sh:] == sp[:-sh]]
+                        ).astype(jnp.int32)
+                    ) > 0
+                    better = same & (shift_ev(t_e, sh, _BIG) < t_e)
+                    t_e = jnp.where(better, shift_ev(t_e, sh, _BIG), t_e)
+                    slot_e = jnp.where(better, shift_ev(slot_e, sh, 0), slot_e)
+                    u_e = jnp.where(better, shift_ev(u_e, sh, 0.0), u_e)
+                    v_e = jnp.where(better, shift_ev(v_e, sh, 0.0), v_e)
+                    sh *= 2
+
+                # scatter-fold: the LAST event of each sub-packet's run within
+                # this chunk carries the run's prefix-min; merge it with the
+                # carried best (gathered as gtb / old payload per event — O(CE)
+                # rows, not O(n_sp) like a gather-fold would cost every chunk)
                 nxt_sp = jnp.concatenate(
                     [sp[1:], jnp.full(1, -1, jnp.int32)]
                 )
                 nxt_valid = jnp.concatenate([valid[1:], jnp.zeros(1, bool)])
+                # a valid event ends its run when the next slot is a different
+                # sub-packet OR padding (padding slots clip to the last sp!)
                 run_end = valid & ((sp != nxt_sp) | ~nxt_valid)
-                idx = jnp.where(run_end, sp, n_sp)   # n_sp = dropped
-                m_t = jnp.where(hit_e, -_BIG, gtb)
-                m_slot = jnp.where(hit_e, 0, g(tri_s))
+                idx = jnp.where(run_end, sp, n_sp)       # n_sp = dropped
+                improved = t_e < gtb
+                m_t = jnp.where(improved, t_e, gtb)
+                m_slot = jnp.where(improved, slot_e, g(tri_s))
+                m_u = jnp.where(improved, u_e, g(us_))
+                m_v = jnp.where(improved, v_e, g(vs_))
 
                 def scat(best_s, m):
                     out = best_s.at[idx].set(
@@ -756,161 +877,104 @@ def _traverse(bvh, o, d, t_min, t_max, any_hit: bool, max_steps: int,
 
                 t_best = scat(tb_s, m_t)
                 tri_best = scat(tri_s, m_slot)
+                u_best = scat(us_, m_u)
+                v_best = scat(vs_, m_v)
                 return ci + 1, t_best, tri_best, u_best, v_best
 
-            if use_fused:
-                # fused table drain: coefficient blocks DMA'd by leaf id,
-                # per-sub-packet fold runs in-kernel — t_e/slot_e/u_e/v_e
-                # are already per-row PREFIX folds, so the XLA scan below
-                # is skipped (run-end scatter consumes them unchanged)
-                from .bvh_fused import mt_fused
-
-                anchor_row = bvh.leaf_anchor[dma_row]          # (CE, 3)
-                t_e, slot_e, u_e, v_e = mt_fused(
-                    bvh.leaf_cmat, anchor_row, dma_row, leaf, sp,
-                    valid.astype(jnp.int32),
-                    gox, goy, goz, gdx, gdy, gdz, gtmin, gtb, leaf_size,
-                )
-                nxt_sp = jnp.concatenate(
-                    [sp[1:], jnp.full(1, -1, jnp.int32)]
-                )
-                nxt_valid = jnp.concatenate([valid[1:], jnp.zeros(1, bool)])
-                run_end = valid & ((sp != nxt_sp) | ~nxt_valid)
-                idx = jnp.where(run_end, sp, n_sp)   # n_sp = dropped
-                improved = t_e < gtb
-                m_t = jnp.where(improved, t_e, gtb)
-                m_slot = jnp.where(improved, slot_e, g(tri_s))
-                m_u = jnp.where(improved, u_e, g(us_))
-                m_v = jnp.where(improved, v_e, g(vs_))
-
-                def scat_f(best_s, m):
-                    out = best_s.at[idx].set(
-                        m.reshape(CE, SUBW), mode="drop"
-                    )
-                    return out.reshape(n_pkt, PACKET)
-
-                t_best = scat_f(tb_s, m_t)
-                tri_best = scat_f(tri_s, m_slot)
-                u_best = scat_f(us_, m_u)
-                v_best = scat_f(vs_, m_v)
-                return ci + 1, t_best, tri_best, u_best, v_best
-
-            use_mxu = MT_MODE == "mxu" or (
-                MT_MODE == "auto" and jax.default_backend() != "cpu"
+            ci, t_best, tri_best, u_best, v_best = jax.lax.while_loop(
+                d_cond, d_body,
+                (jnp.int32(0), t_best, tri_best, u_best, v_best),
             )
-            if use_mxu and SUBW == PACKET:
-                # fused Pallas kernel: MXU dot + in-VMEM epilogue/reduce
-                from .bvh_mxu import mt_mxu
+            if any_hit:
+                # resolved rays retire from the slab test entirely
+                t_best = jnp.where(tri_best >= 0, -_BIG, t_best)
+            ev_total = ev_total + total
+            chunks = chunks + ci
+            cnt = jnp.zeros_like(cnt)
+            return (node, t_best, tri_best, u_best, v_best, queue, cnt, step,
+                    ev_total, chunks, live_steps)
 
-                t_e, k_e, u_e, v_e = mt_mxu(
-                    row, leaf_size,
-                    gox, goy, goz, gdx, gdy, gdz, gtmin, gtb,
-                )
-            elif MT_MODE == "matmul" and SUBW == PACKET:
-                t_e, k_e, u_e, v_e = _mt_matmul(
-                    row, leaf_size,
-                    gox, goy, goz, gdx, gdy, gdz, gtmin, gtb,
-                )
-            else:
-                col = lambda i: expand_ev(row[:, i])
-                t_e, k_e, u_e, v_e = _mt_cols(
-                    col, leaf_size, gox, goy, goz, gdx, gdy, gdz, gtmin, gtb,
-                )
-            t_e = jnp.where(valid_d, t_e, _BIG)
-            slot_e = expand_ev(leaf) * leaf_size + k_e
+        drain = drain_skip if DRAIN == "skip" else drain_flat
 
-            # segmented prefix-min by sub-packet id (events are sp-major;
-            # run length <= QUEUE bounds the scan passes — see any_hit fold)
-            sh = 1
-            while sh < min(CE, QUEUE):
-                same = expand_ev(
-                    jnp.concatenate(
-                        [jnp.zeros(sh, bool), sp[sh:] == sp[:-sh]]
-                    ).astype(jnp.int32)
-                ) > 0
-                better = same & (shift_ev(t_e, sh, _BIG) < t_e)
-                t_e = jnp.where(better, shift_ev(t_e, sh, _BIG), t_e)
-                slot_e = jnp.where(better, shift_ev(slot_e, sh, 0), slot_e)
-                u_e = jnp.where(better, shift_ev(u_e, sh, 0.0), u_e)
-                v_e = jnp.where(better, shift_ev(v_e, sh, 0.0), v_e)
-                sh *= 2
+        def o_cond(c):
+            state, _ = c
+            node, step = state[0], state[7]
+            live = jnp.sum((node >= 0).astype(jnp.int32))
+            return (live > next_cap) & (step < max_steps)
 
-            # scatter-fold: the LAST event of each sub-packet's run within
-            # this chunk carries the run's prefix-min; merge it with the
-            # carried best (gathered as gtb / old payload per event — O(CE)
-            # rows, not O(n_sp) like a gather-fold would cost every chunk)
-            nxt_sp = jnp.concatenate(
-                [sp[1:], jnp.full(1, -1, jnp.int32)]
-            )
-            nxt_valid = jnp.concatenate([valid[1:], jnp.zeros(1, bool)])
-            # a valid event ends its run when the next slot is a different
-            # sub-packet OR padding (padding slots clip to the last sp!)
-            run_end = valid & ((sp != nxt_sp) | ~nxt_valid)
-            idx = jnp.where(run_end, sp, n_sp)       # n_sp = dropped
-            improved = t_e < gtb
-            m_t = jnp.where(improved, t_e, gtb)
-            m_slot = jnp.where(improved, slot_e, g(tri_s))
-            m_u = jnp.where(improved, u_e, g(us_))
-            m_v = jnp.where(improved, v_e, g(vs_))
+        def o_body(c):
+            state, r = c
+            return drain(walk_rounds(state)), r + 1
 
-            def scat(best_s, m):
-                out = best_s.at[idx].set(
-                    m.reshape(CE, SUBW), mode="drop"
-                )
-                return out.reshape(n_pkt, PACKET)
+        return jax.lax.while_loop(o_cond, o_body, carry_rounds)
 
-            t_best = scat(tb_s, m_t)
-            tri_best = scat(tri_s, m_slot)
-            u_best = scat(us_, m_u)
-            v_best = scat(vs_, m_v)
-            return ci + 1, t_best, tri_best, u_best, v_best
 
-        ci, t_best, tri_best, u_best, v_best = jax.lax.while_loop(
-            d_cond, d_body,
-            (jnp.int32(0), t_best, tri_best, u_best, v_best),
-        )
-        if any_hit:
-            # resolved rays retire from the slab test entirely
-            t_best = jnp.where(tri_best >= 0, -_BIG, t_best)
-        ev_total = ev_total + total
-        chunks = chunks + ci
-        cnt = jnp.zeros_like(cnt)
-        return (node, t_best, tri_best, u_best, v_best, queue, cnt, step,
-                ev_total, chunks, live_steps)
-
-    drain = drain_skip if DRAIN == "skip" else drain_flat
-
-    init = (
-        jnp.zeros(n_pkt, jnp.int32),                     # per-packet cursor
-        t_max,                                           # t_best (prune bound)
-        jnp.full((n_pkt, PACKET), -1, jnp.int32),        # best padded-tri slot
-        jnp.zeros((n_pkt, PACKET), jnp.float32),         # u
-        jnp.zeros((n_pkt, PACKET), jnp.float32),         # v
-        jnp.zeros((n_sp, QUEUE), jnp.int32),             # sub-packet queues
-        jnp.zeros(n_sp, jnp.int32),                      # queue counts
-        jnp.int32(0),                                    # step budget
-        jnp.int32(0),                                    # stats: total events
-        jnp.int32(0),                                    # stats: drain chunks
-        jnp.int32(0),                                    # stats: live-packet steps
+    # ---- staged live-packet compaction (round 4) -----------------------
+    # The dense walk streams every (n_pkt, 128) ray plane from HBM each
+    # step regardless of how many packets still have live cursors, and
+    # the measured live-packet integral is a few % of steps x n_pkt on
+    # the bench scenes (tools/roofline.py "live-steps").  Stages: run the
+    # loop until the live count fits the next (4x smaller) capacity,
+    # scatter results back, gather the survivors into the smaller
+    # problem, continue.  Per-packet work is unchanged (packets are
+    # independent; only drain chunk grouping shifts), so results match
+    # the single-stage walk.
+    compact = os.environ.get("EIDOLA_COMPACT", "auto")
+    stage_on = (
+        compact == "1"
+        or (compact == "auto" and jax.default_backend() != "cpu")
     )
+    min_cap = int(os.environ.get("EIDOLA_COMPACT_MIN", "512"))
+    caps = [n_pkt]
+    if stage_on:
+        c = n_pkt
+        while c > min_cap and len(caps) < 4:
+            c = max(-(-c // 4), min_cap)
+            caps.append(c)
 
+    res_t = t_max
+    res_tri = jnp.full((n_pkt, PACKET), -1, jnp.int32)
+    res_u = jnp.zeros((n_pkt, PACKET), jnp.float32)
+    res_v = jnp.zeros((n_pkt, PACKET), jnp.float32)
+    idx = jnp.arange(n_pkt, dtype=jnp.int32)
+    node = jnp.zeros(n_pkt, jnp.int32)
+    t_b, tri_b, u_b, v_b = res_t, res_tri, res_u, res_v
+    step = ev_total = chunks = live_steps = jnp.int32(0)
     rounds = jnp.int32(0)
+    G_ = max(PACKET // SUBW, 1)
 
-    def o_cond(carry):
-        node, step = carry[0][0], carry[0][7]
-        return jnp.any(node >= 0) & (step < max_steps)
+    for k, cap in enumerate(caps):
+        next_cap = caps[k + 1] if k + 1 < len(caps) else 0
+        S = full if k == 0 else {key: a[idx] for key, a in full.items()}
+        carry = (
+            node, t_b, tri_b, u_b, v_b,
+            jnp.zeros((cap * G_, QUEUE), jnp.int32),
+            jnp.zeros(cap * G_, jnp.int32),
+            step, ev_total, chunks, live_steps,
+        )
+        state, rounds = run_stage(S, (carry, rounds), jnp.int32(next_cap))
+        (node, t_b, tri_b, u_b, v_b, _q, _c, step, ev_total, chunks,
+         live_steps) = state
+        if k == 0:
+            res_t, res_tri, res_u, res_v = t_b, tri_b, u_b, v_b
+        else:
+            res_t = res_t.at[idx].set(t_b)
+            res_tri = res_tri.at[idx].set(tri_b)
+            res_u = res_u.at[idx].set(u_b)
+            res_v = res_v.at[idx].set(v_b)
+        if k + 1 < len(caps):
+            # survivors first (stable: keeps packet order otherwise)
+            order = jnp.argsort((node < 0).astype(jnp.int32))
+            sel = order[:next_cap]
+            idx = idx[sel]
+            node, t_b, tri_b, u_b, v_b = (
+                node[sel], t_b[sel], tri_b[sel], u_b[sel], v_b[sel]
+            )
 
-    def o_body(carry):
-        c, rounds = carry
-        return drain(walk_rounds(c)), rounds + 1
-
-    out, rounds = jax.lax.while_loop(
-        lambda c: o_cond(c), o_body, (init, rounds)
-    )
-    t_best, tri_slot, u, v = out[1], out[2], out[3], out[4]
+    t_best, tri_slot, u, v = res_t, res_tri, res_u, res_v
     stats = (
-        {"events": out[8], "chunks": out[9], "steps": out[7],
-         "rounds": rounds, "live_steps": out[10]}
+        {"events": ev_total, "chunks": chunks, "steps": step,
+         "rounds": rounds, "live_steps": live_steps}
         if with_stats else None
     )
 

@@ -44,17 +44,13 @@ _TRAV = os.environ.get("EIDOLA_TRAV", "xla")
 _KEY = os.environ.get("EIDOLA_KEY", "o15d6")
 
 
-def _is_wide(bvh) -> bool:
-    return hasattr(bvh, "walk4")
-
-
 def _is_inst(bvh) -> bool:
     return hasattr(bvh, "leaf_mesh_row")
 
 
 def _use_pallas(bvh: BVH) -> bool:
     if (_TRAV != "pallas" or jax.default_backend() == "cpu"
-            or _is_wide(bvh) or _is_inst(bvh)):
+            or _is_inst(bvh)):
         return False
     from .bvh_pallas import pallas_supported
 
@@ -68,10 +64,6 @@ def closest_hit(bvh, o, d, t_min, t_max, max_steps: int = 100_000):
         return closest_hit_instanced(
             bvh, o, d, t_min, t_max, max_steps=max_steps
         )
-    if _is_wide(bvh):
-        from .bvh_wide import closest_hit_wide
-
-        return closest_hit_wide(bvh, o, d, t_min, t_max, max_steps=max_steps)
     if _use_pallas(bvh):
         from .bvh_pallas import closest_hit_pallas
 
@@ -84,10 +76,6 @@ def any_hit(bvh, o, d, t_min, t_max, max_steps: int = 100_000):
         from .bvh_instanced import any_hit_instanced
 
         return any_hit_instanced(bvh, o, d, t_min, t_max, max_steps=max_steps)
-    if _is_wide(bvh):
-        from .bvh_wide import any_hit_wide
-
-        return any_hit_wide(bvh, o, d, t_min, t_max, max_steps=max_steps)
     if _use_pallas(bvh):
         from .bvh_pallas import any_hit_pallas
 
@@ -166,10 +154,9 @@ def ray_sort_keys(bvh: BVH, o, d, dead):
     """u32 sort key ordering rays into coherent 128-lane packets.
 
     Default layout: dead(1) | origin 7-bit-per-axis Morton(21) | octant(3)
-    — origin cells from the root AABB (bvh.walk row 0, or the union of the
-    wide root row's child boxes) so nearby origins share top-of-tree
-    traversal; the octant separates opposing directions whose slab
-    intervals disagree.
+    — origin cells from the root AABB (bvh.walk row 0) so nearby origins
+    share top-of-tree traversal; the octant separates opposing directions
+    whose slab intervals disagree.
 
     EIDOLA_KEY selects measurable alternatives (perf-only — any
     permutation is correct).  The drain toll is the PACKET union of leaf
@@ -178,14 +165,8 @@ def ray_sort_keys(bvh: BVH, o, d, dead):
       o21d3 (default)  21 origin bits above 3 direction bits
       d3o21            octant ABOVE origin: packets never mix octants
       o15d6            5 bits/axis origin, then 2 bits/axis direction"""
-    if _is_wide(bvh):
-        boxes = bvh.walk4[0, 0:24].reshape(4, 6)
-        present = boxes[:, 0] <= boxes[:, 3]
-        bmin = jnp.min(jnp.where(present[:, None], boxes[:, 0:3], 1e30), 0)
-        bmax = jnp.max(jnp.where(present[:, None], boxes[:, 3:6], -1e30), 0)
-    else:
-        root = bvh.walk[0]
-        bmin, bmax = root[0:3], root[3:6]
+    root = bvh.walk[0]
+    bmin, bmax = root[0:3], root[3:6]
     ext = jnp.maximum(bmax - bmin, 1e-6)
     p = jnp.clip((o - bmin) / ext, 0.0, 1.0)
     octant = (

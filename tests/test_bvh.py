@@ -1,5 +1,6 @@
 """BVH build + stackless traversal vs brute-force oracle
 (SURVEY.md §7.2 step 3: validate against all-triangles oracle)."""
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -358,6 +359,35 @@ class TestSeededTmax:
         np.testing.assert_array_equal(
             np.asarray(rec.tri), np.asarray(rec2.tri)
         )
+
+
+class TestStagedCompaction:
+    """Staged live-packet compaction (EIDOLA_COMPACT): the walk gathers
+    surviving packets into 4x-smaller problems as they retire.  Packets
+    are independent, so results must match the single-stage walk."""
+
+    def test_staged_matches_single_stage(self, monkeypatch):
+        import eidola_tpu.ops.bvh as B
+        from eidola_tpu.ops.bvh import any_hit
+
+        a, b, c = _random_tris(500, seed=61)
+        bvh = build_bvh(a, b, c)
+        o, d = _random_rays(4096, seed=62)
+        tmin = jnp.zeros(4096)
+        tmax = jnp.full(4096, 1e9)
+
+        monkeypatch.setenv("EIDOLA_COMPACT", "0")
+        rec1 = jax.tree.map(np.asarray, closest_hit(bvh, o, d, tmin, tmax))
+        occ1 = np.asarray(any_hit(bvh, o, d, tmin, tmax))
+        monkeypatch.setenv("EIDOLA_COMPACT", "1")
+        monkeypatch.setenv("EIDOLA_COMPACT_MIN", "2")
+        rec2 = jax.tree.map(np.asarray, closest_hit(bvh, o, d, tmin, tmax))
+        occ2 = np.asarray(any_hit(bvh, o, d, tmin, tmax))
+
+        assert (rec1.tri >= 0).sum() > 200
+        np.testing.assert_array_equal(rec1.tri, rec2.tri)
+        np.testing.assert_allclose(rec1.t, rec2.t, rtol=1e-6)
+        np.testing.assert_array_equal(occ1, occ2)
 
 
 class TestSBVH:

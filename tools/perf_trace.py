@@ -35,8 +35,6 @@ def main():
     ap.add_argument("--which", default="all")
     ap.add_argument("--scene", default="stress",
                     help="stress | bistro_flat | bistro_standin (2.83M-tri honest bench scene)")
-    ap.add_argument("--trav", default="binary",
-                    help="binary | wide (4-ary collapse, ops/bvh_wide.py)")
     args = ap.parse_args()
 
     from eidola_tpu.models.scenes import load_scene, stress_grid
@@ -51,20 +49,9 @@ def main():
         scene, cam = load_scene("bistro_flat" if args.scene == "bistro" else args.scene)
     else:
         scene, cam = stress_grid(args.grid)
-    if args.trav == "wide":
-        from eidola_tpu.ops.bvh_wide import wide_from_bvh
-
-        t0 = time.perf_counter()
-        scene = scene._replace(bvh=wide_from_bvh(scene.bvh))
-        print(f"wide collapse: {time.perf_counter() - t0:.1f}s, "
-              f"rows {scene.bvh.walk4.shape[0]}, "
-              f"stack depth {scene.bvh.stack_pad.shape[0]}")
-
     n_tris = int(scene.bvh.n_tris)
     n_rays = w * h
-    walk = getattr(scene.bvh, "walk", None)
-    n_nodes = (walk.shape[0] if walk is not None
-               else scene.bvh.walk4.shape[0])
+    n_nodes = scene.bvh.walk.shape[0]
     print(f"scene: {n_tris} tris, {n_rays} rays, "
           f"walk nodes {n_nodes}, "
           f"leaf rows {scene.bvh.leaf_blocks.shape}")
