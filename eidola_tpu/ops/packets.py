@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .bvh import BVH, HitRecord
+from .bvh import BVH, HitRecord, PACKET
 from .bvh import any_hit as _any_hit_xla
 from .bvh import closest_hit as _closest_hit_xla
 
@@ -107,18 +107,41 @@ def from_tiles(a, h: int, w: int):
     return x.reshape((h, w) + a.shape[1:])
 
 
+def _img_traverse(fn, bvh: BVH, o, d, t_min, t_max, max_steps: int):
+    """Tile-major flat traversal of an (H, W) ray field; under a band
+    context (ops/halo.py), vmapped over row bands so every gather/scatter
+    inside the walk+drain carries the band as a batch dim and SPMD keeps
+    the whole traversal shard-local (tile-major order puts each band's
+    h/B image rows in one contiguous flat chunk)."""
+    h, w = o.shape[:2]
+    args = [to_tiles(o, h, w), to_tiles(d, h, w),
+            to_tiles(t_min, h, w), to_tiles(t_max, h, w)]
+    from .halo import get_bands
+
+    B = get_bands()
+    R = h * w
+    if (B > 1 and _tileable(h, w) and h % (B * TILE_H) == 0
+            and (R // B) % PACKET == 0):
+        Rb = R // B
+
+        def band(o1, d1, tn1, tx1):
+            return fn(bvh, o1, d1, tn1, tx1, max_steps=max_steps)
+
+        out = jax.vmap(band)(
+            *[a.reshape((B, Rb) + a.shape[1:]) for a in args]
+        )
+        flat = lambda a: a.reshape((R,) + a.shape[2:])
+        if isinstance(out, HitRecord):
+            return HitRecord(*[flat(a) for a in out])
+        return flat(out)
+    return fn(bvh, *args, max_steps=max_steps)
+
+
 def closest_hit_img(bvh: BVH, o, d, t_min, t_max, max_steps: int = 100_000):
     """Closest hit for (H, W, 3) ray fields with tile-packet ordering.
     Returns a HitRecord of (H, W) arrays."""
     h, w = o.shape[:2]
-    rec = closest_hit(
-        bvh,
-        to_tiles(o, h, w),
-        to_tiles(d, h, w),
-        to_tiles(t_min, h, w),
-        to_tiles(t_max, h, w),
-        max_steps=max_steps,
-    )
+    rec = _img_traverse(closest_hit, bvh, o, d, t_min, t_max, max_steps)
     return HitRecord(
         tri=from_tiles(rec.tri, h, w),
         t=from_tiles(rec.t, h, w),
@@ -130,14 +153,7 @@ def closest_hit_img(bvh: BVH, o, d, t_min, t_max, max_steps: int = 100_000):
 def any_hit_img(bvh: BVH, o, d, t_min, t_max, max_steps: int = 100_000):
     """Occlusion query for (H, W, 3) ray fields with tile-packet ordering."""
     h, w = o.shape[:2]
-    occ = any_hit(
-        bvh,
-        to_tiles(o, h, w),
-        to_tiles(d, h, w),
-        to_tiles(t_min, h, w),
-        to_tiles(t_max, h, w),
-        max_steps=max_steps,
-    )
+    occ = _img_traverse(any_hit, bvh, o, d, t_min, t_max, max_steps)
     return from_tiles(occ, h, w)
 
 
@@ -194,6 +210,18 @@ def ray_sort_keys(bvh: BVH, o, d, dead):
     return dead_u | (morton(7) << 3) | octant
 
 
+def _sort_bands(R: int) -> int:
+    """Band count for a flat ray field of R rays: the trace-time band
+    context (ops/halo.py) when it divides R into whole packets, else 1
+    (global sort — single-chip default)."""
+    from .halo import get_bands
+
+    B = get_bands()
+    if B > 1 and R % B == 0 and (R // B) % PACKET == 0:
+        return B
+    return 1
+
+
 def make_ray_order(bvh: BVH, o, d, dead):
     """(perm, inv) ordering rays by (dead, origin Morton, octant).
 
@@ -201,12 +229,29 @@ def make_ray_order(bvh: BVH, o, d, dead):
     full 2M-ray sort costs ~42 ms on v5 lite, the scatter one memory pass.
     The returned order can be REUSED by later traversals whose rays share
     (approximately) the same origins — e.g. the NEE shadow rays spawned at
-    the hits of the bounce rays that produced it (SURVEY §5.7 wavefront)."""
+    the hits of the bounce rays that produced it (SURVEY §5.7 wavefront).
+
+    Under a band context (ops/halo.py, set by the multi-chip sharded
+    step) the sort is BAND-LOCAL: (perm, inv) come back as (B, R/B)
+    local index arrays, rays only permute within their own row band, and
+    the sort + the permuted traversal stay shard-local under SPMD.  The
+    sort is perf-only, so any permutation — banded included — is exact."""
     shape = o.shape[:-1]
     R = int(np.prod(shape)) if shape else 1
     keys = ray_sort_keys(
         bvh, o.reshape(R, 3), d.reshape(R, 3), dead.reshape(R)
     )
+    B = _sort_bands(R)
+    if B > 1:
+        Rb = R // B
+        iota = jnp.broadcast_to(
+            jnp.arange(Rb, dtype=jnp.int32)[None, :], (B, Rb)
+        )
+        _, perm = jax.lax.sort_key_val(keys.reshape(B, Rb), iota, dimension=1)
+        inv = jax.vmap(
+            lambda p, i: jnp.zeros((Rb,), jnp.int32).at[p].set(i)
+        )(perm, iota)
+        return perm, inv
     iota = jnp.arange(R, dtype=jnp.int32)
     _, perm = jax.lax.sort_key_val(keys, iota)
     inv = jnp.zeros(R, jnp.int32).at[perm].set(iota)
@@ -226,6 +271,27 @@ def _sorted_traverse(fn, bvh: BVH, o, d, t_min, t_max, max_steps: int,
     if order is None:
         order = make_ray_order(bvh, o, d, dead=t_max < t_min)
     perm, inv = order
+    if perm.ndim == 2:
+        # banded order: vmap the whole permute→walk→restore over the band
+        # axis.  Every gather/scatter/sort inside becomes a BATCHED op
+        # whose batch dim is the row-shard axis, so XLA partitions the
+        # entire traversal shard-locally (no resharding of ray state).
+        B, Rb = perm.shape
+
+        def band(o1, d1, tn1, tx1, p1, i1):
+            out = fn(bvh, o1[p1], d1[p1], tn1[p1], tx1[p1],
+                     max_steps=max_steps)
+            if isinstance(out, HitRecord):
+                return HitRecord(*[a[i1] for a in out])
+            return out[i1]
+
+        out = jax.vmap(band)(
+            o.reshape(B, Rb, 3), d.reshape(B, Rb, 3),
+            t_min.reshape(B, Rb), t_max.reshape(B, Rb), perm, inv,
+        )
+        if isinstance(out, HitRecord):
+            return HitRecord(*[a.reshape(shape) for a in out])
+        return out.reshape(shape)
     out = fn(
         bvh, o[perm], d[perm], t_min[perm], t_max[perm], max_steps=max_steps
     )

@@ -8,14 +8,21 @@ textures) is replicated — it is read-only and every chip needs random access
 during traversal.
 
 Mechanics: we annotate the carried FrameState + per-frame rasters with
-NamedSharding(P("rows")) and jit the unchanged frame function.  XLA's SPMD
-partitioner keeps every pointwise/stage-local op row-local and inserts
-collectives only where the algorithm genuinely communicates:
+NamedSharding(P("rows")) and jit the frame function traced under a row-BAND
+context (ops/halo.py) matching the mesh size.  The band context bounds the
+two op families whose naive global form the SPMD partitioner would emulate
+with full-image collectives (measured with tools/spmd_hlo.py before the
+banding: ~40 MB of masked-all-reduce per 8k-pixel frame):
+  - temporal/spatial image gathers  -> ±halo-row clamp + banded gather
+                                       (2·halo-row halo exchange)
+  - the wavefront ray sort          -> band-local sort, traversal vmapped
+                                       over bands (zero communication)
+What remains is what the algorithm genuinely communicates:
   - a-trous taps near shard edges     -> halo exchange (collective-permute)
-  - motion-vector temporal gathers    -> all-gather of the (small) reservoir
   - auto-exposure log-average         -> psum
-All of these ride ICI.  No hand-written communication layer is warranted
-(SURVEY §5.8) — the dataflow IS the schedule.
+  - the deep-bounce tile lane set     -> bounded by the lane count
+All of these ride ICI.  tests/test_parallel.py asserts the compiled HLO's
+collective payload stays bounded; dryrun_multichip prints it every run.
 """
 from __future__ import annotations
 
@@ -99,8 +106,13 @@ def make_sharded_step(cfg: RenderConfig, mesh: Mesh):
     (scene, camera, params); jit infers the partitioning from input placement
     and keeps outputs row-sharded."""
 
+    from ..ops.halo import band_context
+
     @jax.jit
     def step(scene, cam, params, tm, state: FrameState):
-        return render_frame(cfg, scene, cam, params, tm, state)
+        # trace under the band context: band-aware ops (ops/halo.py
+        # gathers, the banded wavefront sort) split along shard boundaries
+        with band_context(mesh.devices.size):
+            return render_frame(cfg, scene, cam, params, tm, state)
 
     return step

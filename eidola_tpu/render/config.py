@@ -47,6 +47,11 @@ class RenderConfig:
     spatial_rounds: int = 0         # final reference build: no spatial (README.md:145)
     spatial_neighbors: int = 5      # disk-distributed neighbours per round (K1:86-121)
     spatial_radius: float = 30.0    # neighbour disk radius in px (K1:88 Radius)
+    temporal_halo: int = 64         # max reprojection row displacement kept
+                                    # by temporal reuse (ops/halo.py: bounds
+                                    # multi-chip traffic to a 2·halo-row
+                                    # exchange; beyond = history rejected,
+                                    # like a failed gate — unbiased)
     denoise: bool = True
     denoise_direct_levels: int = 4  # ref renderer.cpp:181
     denoise_indirect_levels: int = 5  # ref renderer.cpp:194

@@ -20,9 +20,11 @@ import os
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import reservoir as resv
 from ..ops import rng as erng
+from ..ops.halo import halo_gather, halo_gather_tree
 
 from ..ops.math import (
     clamp_radiance,
@@ -113,29 +115,6 @@ def _temporal_gates(view: GBufferView, hist: GBufferView):
     d_ok = jnp.abs(view.depth - hist.depth) < 0.05 * jnp.maximum(view.depth, 1e-3)
     m_ok = view.mat_hash == hist.mat_hash
     return view.valid & hist.valid & n_ok & d_ok & m_ok
-
-
-def _gather_view(view: GBufferView, flat_idx) -> GBufferView:
-    """Gather a (H, W) GBufferView at flat pixel indices, returning a view
-    with the same (H, W) shape (flat_idx must have H*W entries)."""
-    h, w = view.depth.shape
-
-    def g(a):
-        flat = a.reshape((h * w,) + a.shape[2:])[flat_idx]
-        return flat.reshape((h, w) + a.shape[2:])
-
-    return GBufferView(*[g(a) for a in view])
-
-
-def _gather_resv(r: dict, flat_idx, h: int, w: int) -> dict:
-    """Gather (H, W)-shaped reservoirs at flat indices, back to (H, W)."""
-    import jax
-
-    def g(a):
-        flat = a.reshape((h * w,) + a.shape[2:])[flat_idx]
-        return flat.reshape((h, w) + a.shape[2:])
-
-    return jax.tree_util.tree_map(g, r)
 
 
 def direct_stage(
@@ -240,17 +219,18 @@ def direct_stage(
     temporal_on = cfg.restir_mode in (RESTIR_TEMPORAL, RESTIR_SPATIOTEMPORAL)
     use_vis_reuse = cfg.shadow_cadence > 1 and prev_vis is not None
     gates = None
-    flat_idx = None
+    mot_y = mot_x = None
     if temporal_on or use_vis_reuse:
         prev_view = decode_gbuffer(
             prev_gbuf, prev_cam.pos, center_rays(prev_cam, h, w)
         )
-        flat_idx = jnp.clip(motion[..., 0], 0, h - 1) * w + jnp.clip(
-            motion[..., 1], 0, w - 1
+        mot_y = jnp.clip(motion[..., 0], 0, h - 1)
+        mot_x = jnp.clip(motion[..., 1], 0, w - 1)
+        hist_view, in_halo = halo_gather_tree(
+            prev_view, mot_y, mot_x, cfg.temporal_halo
         )
-        flat_idx = flat_idx.reshape(-1)
-        hist_view = _gather_view(prev_view, flat_idx)
-        gates = _temporal_gates(view, hist_view) & (motion[..., 0] >= 0)
+        gates = (_temporal_gates(view, hist_view) & (motion[..., 0] >= 0)
+                 & in_halo)
 
     # --- shadow ray for the RIS winner --------------------------- K1:200-207
     sel = r["sample"]
@@ -281,7 +261,7 @@ def direct_stage(
         tile_id = ty * jnp.uint32(-(-w // TILE_W)) + tx
         tile_rand = erng.tea(tile_id, jnp.broadcast_to(fi, tile_id.shape))
         tile_active = (tile_rand % jnp.uint32(cfg.shadow_cadence)) == 0
-        vis_prev = prev_vis.reshape(-1)[flat_idx].reshape(h, w)
+        vis_prev, _ = halo_gather(prev_vis, mot_y, mot_x, cfg.temporal_halo)
         vis_known = gates & (vis_prev >= 0.0)
         must = need & (tile_active | ~vis_known)
         shadow_tmax = jnp.where(must, sel["dist"] * 0.999, -1.0)
@@ -317,7 +297,9 @@ def direct_stage(
 
     # --- temporal reuse ------------------------------------- K1:47-84,209-217
     if temporal_on:
-        hist_resv = _gather_resv(prev_resv, flat_idx, h, w)
+        hist_resv, _ = halo_gather_tree(
+            prev_resv, mot_y, mot_x, cfg.temporal_halo
+        )
         rng_state, u = erng.rand(rng_state)
         r = resv.resv_merge_same_target(r, hist_resv, u, enabled=gates)
 
@@ -403,10 +385,13 @@ def _spatial_reuse(cfg: RenderConfig, view: GBufferView, r_src: dict,
             nx = xs + ox
             inb = (ny >= 0) & (ny < h) & (nx >= 0) & (nx < w)
             not_self = (oy != 0) | (ox != 0)
-            flat = (jnp.clip(ny, 0, h - 1) * w + jnp.clip(nx, 0, w - 1)
-                    ).reshape(-1)
-            n_view = _gather_view(view, flat)
-            n_resv = _gather_resv(r_src, flat, h, w)
+            # |oy| <= spatial_radius by construction, so the halo bound is
+            # exact here (in-halo mask is all-true for in-bounds taps)
+            s_halo = int(np.ceil(cfg.spatial_radius))
+            nyc = jnp.clip(ny, 0, h - 1)
+            nxc = jnp.clip(nx, 0, w - 1)
+            n_view, _ = halo_gather_tree(view, nyc, nxc, s_halo)
+            n_resv, _ = halo_gather_tree(r_src, nyc, nxc, s_halo)
             gates = _spatial_gates(view, n_view) & inb & not_self
             rng_state, u = erng.rand(rng_state)
             agg = resv.resv_merge_same_target(agg, n_resv, u, enabled=gates)

@@ -46,7 +46,8 @@ from .config import RESTIR_NONE, RESTIR_RIS, RenderConfig, RenderParams
 from .gbuffer import GBuffer, GBufferView
 from .shade_state import State, get_state
 from .tracer import trace_closest, trace_radiance
-from .direct import _gather_resv, _gather_view, _temporal_gates
+from ..ops.halo import halo_gather_tree
+from .direct import _temporal_gates
 
 _TMIN = 1e-4
 _TMAX = 1e8
@@ -265,14 +266,16 @@ def indirect_stage(
         m_ok = motion[..., 0] >= 0
         hist_y2 = jnp.clip(motion[..., 0] // stride, 0, h2 - 1)
         hist_x2 = jnp.clip(motion[..., 1] // stride, 0, w2 - 1)
-        flat_half = (hist_y2 * w2 + hist_x2).reshape(-1)
-        hist_resv = _gather_resv(prev_resv, flat_half, h2, w2)
+        hist_resv, r_halo = halo_gather_tree(
+            prev_resv, hist_y2, hist_x2, max(cfg.temporal_halo // stride, 1)
+        )
         # geometric gates vs the history G-buffer at the full-res coord
         hy = jnp.clip(motion[..., 0], 0, cfg.height - 1)
         hx = jnp.clip(motion[..., 1], 0, cfg.width - 1)
-        flat_full = (hy * cfg.width + hx).reshape(-1)
-        hist_view = _gather_view_halfres(prev_view_full, flat_full, h2, w2)
-        gates = _temporal_gates(view, hist_view) & m_ok
+        hist_view, v_halo = halo_gather_tree(
+            prev_view_full, hy, hx, cfg.temporal_halo, stride=stride
+        )
+        gates = _temporal_gates(view, hist_view) & m_ok & r_halo & v_halo
         rng_state, u = erng.rand(rng_state)
         r = resv.resv_merge_same_target(r, hist_resv, u, enabled=gates)
         r = resv.resv_clamp(r, 2.0 * params.reservoir_clamp)
@@ -296,13 +299,3 @@ def indirect_stage(
     return rng_state, IndirectOut(illum_ldr=hdr_to_ldr(illum), resv=r)
 
 
-def _gather_view_halfres(view_full: GBufferView, flat_idx, h2: int, w2: int):
-    """Gather a full-res GBufferView at flat full-res indices, producing a
-    half-res-shaped view."""
-    hf, wf = view_full.depth.shape
-
-    def g(a):
-        flat = a.reshape((hf * wf,) + a.shape[2:])[flat_idx]
-        return flat.reshape((h2, w2) + a.shape[2:])
-
-    return GBufferView(*[g(a) for a in view_full])
