@@ -153,6 +153,8 @@ def build_bvh(
     as_numpy: bool = False,
     octant: bool | None = None,
     spatial: bool | None = None,
+    prim_ids: np.ndarray | None = None,
+    n_tris_global: int | None = None,
 ) -> BVH:
     """Build the threaded BVH on the host (load-time, like the reference's
     one-shot FAST_TRACE BLAS build, accelstruct.cpp:55-65): binned-SAH
@@ -160,6 +162,12 @@ def build_bvh(
     `hit internal -> i+1; miss/leaf -> escape[i]`.
 
     v0/v1/v2: (T, 3) world-space triangle vertices (float32).
+
+    prim_ids: optional (T,) external triangle ids for SUBSET builds (the
+    opaque/alpha split, scene/data.py): hit records report prim_ids[i]
+    instead of the input position i, and slot_of_tri is sized
+    n_tris_global (default max(prim_ids)+1) with -1 for ids this BVH does
+    not own.
     """
     from .bvh_build import build_sah_topology, flatten_preorder
 
@@ -252,7 +260,16 @@ def build_bvh(
 
         walk_oct = build_octant_tables(walk)
 
-    slot_of_tri = np.zeros(T, np.int32)
+    if prim_ids is not None:
+        ids = np.asarray(prim_ids, np.int32)
+        assert ids.shape[0] == T
+        prim_id = np.where(prim_id >= 0, ids[np.maximum(prim_id, 0)],
+                           np.int32(-1))
+        n_slot = (int(n_tris_global) if n_tris_global is not None
+                  else int(ids.max()) + 1)
+    else:
+        n_slot = T
+    slot_of_tri = np.full(n_slot, -1, np.int32)
     occupied = prim_id >= 0
     slot_of_tri[prim_id[occupied]] = np.nonzero(occupied)[0].astype(np.int32)
 

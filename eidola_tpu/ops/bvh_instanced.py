@@ -144,17 +144,34 @@ def build_instanced_bvh(
     meshes: list[tuple[np.ndarray, np.ndarray, np.ndarray]],
     instances: list[tuple[int, np.ndarray]],
     leaf_size: int | None = None,
+    mesh_prim_ids: list[np.ndarray] | None = None,
+    mesh_tris_full: list[int] | None = None,
+    inst_tri_base_override: np.ndarray | None = None,
+    n_tris_virtual: int | None = None,
 ) -> InstancedBVH:
     """meshes: [(v0, v1, v2)] object-space triangle soup per unique mesh;
     instances: [(mesh_index, 4x4-or-3x4 object->world transform)].
 
     Ref parity: Scene/AccelStruct build BLAS per primMesh then one TLAS
-    instance per node (accelstruct.cpp:71-162)."""
+    instance per node (accelstruct.cpp:71-162).
+
+    Subset builds (the opaque/alpha split, scene/data.py): pass the
+    per-mesh triangle SUBSETS plus `mesh_prim_ids` (mesh-local original
+    ids of each subset tri), `mesh_tris_full` (full per-mesh counts),
+    `inst_tri_base_override` (this subset's instances' bases in the full
+    virtual tri numbering) and `n_tris_virtual` (full virtual count) —
+    hit records then report ids in the SAME global numbering as the full
+    build, so both split halves shade through one attribute pool."""
     assert meshes and instances
     # --- per-mesh BLAS (shared pools) -----------------------------------
     blas = [
-        build_bvh(v0, v1, v2, leaf_size=leaf_size, as_numpy=True)
-        for (v0, v1, v2) in meshes
+        build_bvh(
+            v0, v1, v2, leaf_size=leaf_size, as_numpy=True,
+            prim_ids=None if mesh_prim_ids is None else mesh_prim_ids[k],
+            n_tris_global=None if mesh_tris_full is None
+            else mesh_tris_full[k],
+        )
+        for k, (v0, v1, v2) in enumerate(meshes)
     ]
     leaf_size_eff = blas[0].leaf_blocks.shape[1] // 12
     mesh_leaf_base = np.zeros(len(meshes) + 1, np.int64)
@@ -169,14 +186,22 @@ def build_instanced_bvh(
             np.asarray(m, np.float64).reshape(4, 4)[:3]
             for (_, m) in instances]
     mesh_of = np.asarray([mi for (mi, _) in instances], np.int64)
-    mesh_tris = [int(np.max(b.prim_id) + 1) if b.prim_id.size else 0
-                 for b in blas]
-    inst_tri_base = np.zeros(I, np.int64)
-    acc = 0
-    for k in range(I):
-        inst_tri_base[k] = acc
-        acc += mesh_tris[mesh_of[k]]
-    n_tris_total = acc
+    if mesh_tris_full is not None:
+        mesh_tris = [int(t) for t in mesh_tris_full]
+    else:
+        mesh_tris = [int(np.max(b.prim_id) + 1) if b.prim_id.size else 0
+                     for b in blas]
+    if inst_tri_base_override is not None:
+        inst_tri_base = np.asarray(inst_tri_base_override, np.int64)
+        assert inst_tri_base.shape[0] == I
+        n_tris_total = int(n_tris_virtual)
+    else:
+        inst_tri_base = np.zeros(I, np.int64)
+        acc = 0
+        for k in range(I):
+            inst_tri_base[k] = acc
+            acc += mesh_tris[mesh_of[k]]
+        n_tris_total = acc
 
     # --- per-instance transformed node arrays ---------------------------
     inst_walks = []          # list of (n_i, 8) f32 with LOCAL links
@@ -297,16 +322,22 @@ def build_instanced_bvh(
         lo = int(mesh_leaf_base[k]) * n_leaf_slots
         hi = int(mesh_leaf_base[k + 1]) * n_leaf_slots
         mp = mesh_prim[lo:hi]
-        inv = np.zeros(mesh_tris[k], np.int32)
+        inv = np.full(mesh_tris[k], -1, np.int32)   # -1 = not in this BVH
         occ = mp >= 0
         inv[mp[occ]] = (np.nonzero(occ)[0] + lo).astype(np.int32)
         mesh_slot_of_local.append(inv)
-    slot_of_tri = np.concatenate(
-        [mesh_slot_of_local[mi] for mi in mesh_of]
-    ) if n_tris_total else np.zeros(0, np.int32)
-    inst_of_tri = np.concatenate(
-        [np.full(mesh_tris[mesh_of[k]], k, np.int32) for k in range(I)]
-    ) if n_tris_total else np.zeros(0, np.int32)
+    # global virtual-tri tables, scattered at each instance's base (subset
+    # builds leave -1 holes for tris the OTHER split half owns)
+    slot_of_tri = np.full(max(n_tris_total, 1), -1, np.int32)
+    inst_of_tri = np.full(max(n_tris_total, 1), -1, np.int32)
+    for k in range(I):
+        base = int(inst_tri_base[k])
+        n_m = mesh_tris[mesh_of[k]]
+        slot_of_tri[base: base + n_m] = mesh_slot_of_local[mesh_of[k]]
+        inst_of_tri[base: base + n_m] = k
+    if not n_tris_total:
+        slot_of_tri = np.zeros(0, np.int32)
+        inst_of_tri = np.zeros(0, np.int32)
 
     return InstancedBVH(
         walk=jnp.asarray(walk),

@@ -268,22 +268,14 @@ def direct_stage(
     else:
         must = need
         shadow_tmax = jnp.where(need, sel["dist"] * 0.999, -1.0)
-    use_tiled = (
-        not cfg.alpha_geometry
-        and os.environ.get("EIDOLA_DI_SHADOW", "tiled") == "tiled"
+    # winner shadow rays keep raster-coherent image-tile packets for the
+    # (opaque) any-hit; alpha scenes march the residual through the small
+    # alpha BVH inside trace_occlusion (opaque/alpha split)
+    rng_state, occluded = trace_occlusion(
+        cfg, scene, origin, sel["wi"],
+        jnp.full((h, w), _TMIN), shadow_tmax, rng_state,
+        coherent=os.environ.get("EIDOLA_DI_SHADOW", "tiled") == "tiled",
     )
-    if use_tiled:
-        from ..ops.packets import any_hit_img
-
-        occluded = any_hit_img(
-            scene.bvh, origin, sel["wi"], jnp.full((h, w), _TMIN),
-            shadow_tmax, max_steps=cfg.traversal_max_steps,
-        )
-    else:
-        rng_state, occluded = trace_occlusion(
-            cfg, scene, origin, sel["wi"],
-            jnp.full((h, w), _TMIN), shadow_tmax, rng_state,
-        )
     if use_vis_reuse:
         occluded = jnp.where(must, occluded, vis_prev < 0.5)
         vis_out = jnp.where(

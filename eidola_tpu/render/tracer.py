@@ -18,7 +18,9 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from ..ops import rng as erng
-from ..ops.packets import any_hit_sorted, closest_hit_img, closest_hit_sorted
+from ..ops.packets import (
+    any_hit_img, any_hit_sorted, closest_hit_img, closest_hit_sorted,
+)
 from ..ops.math import (
     dot3,
     make_frame,
@@ -81,57 +83,114 @@ def _alpha_passthrough(scene: SceneData, rec, rng_state):
     return rng_state, passthrough
 
 
+def _merge_closest(a, b):
+    """Nearer of two hit records (miss t is _BIG, so min-t works)."""
+    take_b = (b.tri >= 0) & ((a.tri < 0) | (b.t < a.t))
+    return type(a)(*[jnp.where(take_b, y, x) for x, y in zip(a, b)])
+
+
 def trace_closest(cfg: RenderConfig, scene: SceneData, o, d, t_min, t_max,
                   rng_state, coherent: bool = False, order=None):
     """Closest-hit with the HitTest alpha loop (ref traceray_rq.glsl
     ClosestHit): transparent hits re-trace from just past the hit, up to
     cfg.alpha_hops times.  Statically free when cfg.alpha_geometry is off.
     `order` (from ops.packets.make_ray_order) skips the wavefront sort —
-    reuse it for waves sharing origins.  Returns (rng_state, HitRecord)."""
-    if coherent and o.ndim == 3:
-        rec = closest_hit_img(
-            scene.bvh, o, d, t_min, t_max, max_steps=cfg.traversal_max_steps
-        )
-    else:
-        rec = closest_hit_sorted(
-            scene.bvh, o, d, t_min, t_max,
+    reuse it for waves sharing origins.  Returns (rng_state, HitRecord).
+
+    Split scenes (scene.bvh_alpha): the opaque bulk is traversed ONCE; the
+    hop loop runs only inside the small alpha BVH with t bounded by the
+    opaque hit — the TPU analog of the reference paying anyhit shaders
+    only on non-opaque geometry (traceray_rq.glsl gl_RayFlagsOpaque)."""
+    def closest(bvh, tn, tx):
+        if coherent and o.ndim == 3:
+            return closest_hit_img(
+                bvh, o, d, tn, tx, max_steps=cfg.traversal_max_steps
+            )
+        return closest_hit_sorted(
+            bvh, o, d, tn, tx,
             max_steps=cfg.traversal_max_steps, order=order,
         )
+
+    rec = closest(scene.bvh, t_min, t_max)
     if not cfg.alpha_geometry:
+        if scene.bvh_alpha is not None:
+            # alpha geometry treated as OPAQUE when the HitTest loop is
+            # statically off (ref: rays without the anyhit flag): merge
+            # the alpha half's plain closest hit, no hops
+            rec = _merge_closest(rec, closest(scene.bvh_alpha, t_min, t_max))
         return rng_state, rec
+    split = scene.bvh_alpha is not None
+    hop_bvh = scene.bvh_alpha if split else scene.bvh
+    if split:
+        # alpha closest, bounded by the opaque hit (rec.t is _BIG on miss)
+        a_tmax = jnp.minimum(
+            jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), rec.t.shape),
+            rec.t,
+        )
+        rec_a = closest(scene.bvh_alpha, t_min, a_tmax)
+    else:
+        a_tmax = t_max
+        rec_a = rec
     for _ in range(cfg.alpha_hops):
-        rng_state, passthrough = _alpha_passthrough(scene, rec, rng_state)
-        new_tmin = rec.t * (1.0 + 1e-4) + 1e-5
+        rng_state, passthrough = _alpha_passthrough(scene, rec_a, rng_state)
+        new_tmin = rec_a.t * (1.0 + 1e-4) + 1e-5
         rec2 = closest_hit_sorted(
-            scene.bvh, o, d,
+            hop_bvh, o, d,
             jnp.where(passthrough, new_tmin, t_min),
-            jnp.where(passthrough, t_max, -1.0),
+            jnp.where(passthrough, a_tmax, -1.0),
             max_steps=cfg.traversal_max_steps, order=order,
         )
-        rec = type(rec)(*[
-            jnp.where(passthrough, b, a) for a, b in zip(rec, rec2)
+        rec_a = type(rec_a)(*[
+            jnp.where(passthrough, b, a) for a, b in zip(rec_a, rec2)
         ])
-    return rng_state, rec
+    if split:
+        rec_a = _merge_closest(rec, rec_a)
+    return rng_state, rec_a
 
 
 def trace_occlusion(cfg: RenderConfig, scene: SceneData, o, d, t_min, t_max,
-                    rng_state, order=None):
+                    rng_state, order=None, coherent: bool = False):
     """Occlusion with stochastic alpha (ref traceray_rq.glsl:153-185 AnyHit):
     alpha-rejected hits don't occlude; the ray marches past them.
-    Returns (rng_state, occluded bool)."""
-    if not cfg.alpha_geometry:
-        occ = any_hit_sorted(
-            scene.bvh, o, d, t_min, t_max,
+    coherent=True uses image-tile packets for the (opaque) any-hit when the
+    rays are (H, W, 3) raster fields.  Returns (rng_state, occluded bool).
+
+    Split scenes: ONE cheap any-hit OR-drain over the opaque bulk, then
+    the stochastic march only through the small alpha BVH."""
+    def anyhit(bvh, tx):
+        if coherent and o.ndim == 3:
+            return any_hit_img(
+                bvh, o, d, t_min, tx, max_steps=cfg.traversal_max_steps
+            )
+        return any_hit_sorted(
+            bvh, o, d, t_min, tx,
             max_steps=cfg.traversal_max_steps, order=order,
         )
+
+    if not cfg.alpha_geometry:
+        occ = anyhit(scene.bvh, t_max)
+        if scene.bvh_alpha is not None:
+            # alpha treated as opaque when the HitTest loop is off
+            occ = occ | anyhit(scene.bvh_alpha, t_max)
         return rng_state, occ
+    split = scene.bvh_alpha is not None
     shape = t_max.shape if hasattr(t_max, "shape") else o.shape[:-1]
-    occluded = jnp.zeros(shape, bool)
+    if split:
+        occluded = anyhit(scene.bvh, t_max)
+        hop_bvh = scene.bvh_alpha
+        hops = cfg.alpha_hops + 1
+    else:
+        occluded = jnp.zeros(shape, bool)
+        hop_bvh = scene.bvh
+        hops = cfg.alpha_hops + 1
     cur_tmin = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), shape)
-    cur_tmax = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), shape)
-    for _ in range(cfg.alpha_hops + 1):
+    cur_tmax = jnp.where(
+        occluded, -1.0,
+        jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), shape),
+    )
+    for _ in range(hops):
         rec = closest_hit_sorted(
-            scene.bvh, o, d, cur_tmin, cur_tmax,
+            hop_bvh, o, d, cur_tmin, cur_tmax,
             max_steps=cfg.traversal_max_steps, order=order,
         )
         rng_state, passthrough = _alpha_passthrough(scene, rec, rng_state)

@@ -196,6 +196,14 @@ class SceneData(NamedTuple):
     sunsky: SunSkyParams
     inst: Optional[Instancing] = None  # set on instanced scenes (tri_*
     #                                    arrays are then mesh-local pools)
+    # opaque/alpha BVH split (set when the scene mixes both): `bvh` then
+    # holds ONLY opaque geometry and `bvh_alpha` the alpha-tested rest,
+    # both reporting ids in the same global numbering.  Rays pay ONE cheap
+    # traversal (fused any-hit OR-drain for shadows) on the opaque bulk
+    # and run the HitTest re-trace hops only inside the (small) alpha BVH
+    # — the TPU-native analog of the reference paying anyhit shaders only
+    # on alpha geometry (traceray_rq.glsl:58-102 HitTest + gl_RayFlags).
+    bvh_alpha: Optional[BVH] = None
 
 
 def default_sunsky() -> SunSkyParams:
@@ -450,8 +458,27 @@ def upload_scene(
         sunsky if sunsky is not None else default_sunsky()
     )
 
+    # opaque/alpha BVH split: alpha-tested triangles (MASK/BLEND material)
+    # go to their own BVH so the HitTest re-trace hops never touch the
+    # opaque bulk (see SceneData.bvh_alpha)
+    T = v0.shape[0]
+    alpha_tri = (
+        np.asarray(mat_table.alpha_mode)[np.asarray(mat_ids)] != ALPHA_OPAQUE
+    )
+    if alpha_tri.any() and not alpha_tri.all():
+        op = np.nonzero(~alpha_tri)[0].astype(np.int32)
+        al = np.nonzero(alpha_tri)[0].astype(np.int32)
+        bvh = build_bvh(v0[op], v1[op], v2[op], as_numpy=True,
+                        prim_ids=op, n_tris_global=T)
+        bvh_alpha = build_bvh(v0[al], v1[al], v2[al], as_numpy=True,
+                              prim_ids=al, n_tris_global=T)
+    else:
+        bvh = build_bvh(v0, v1, v2, as_numpy=True)
+        bvh_alpha = None
+
     scene = SceneData(
-        bvh=build_bvh(v0, v1, v2, as_numpy=True),
+        bvh=bvh,
+        bvh_alpha=bvh_alpha,
         tri_gn=prep["gn"],
         tri_nrm=prep["nrm"],
         tri_uv=prep["uv"],
@@ -647,8 +674,56 @@ def upload_scene_instanced(
         ),
         pmf_scale=pmf_scale,
     )
+    # opaque/alpha BVH split at the mesh-primitive level (glTF primitives
+    # are single-material, so per-mesh triangle masks are exact): each
+    # split half is an instanced BVH over the subset, reporting ids in the
+    # SAME virtual numbering (tri_base/mesh_tris_full overrides)
+    alpha_mode_np = np.asarray(mat_table.alpha_mode)
+    mesh_alpha_masks = []
+    for k in range(len(meshes)):
+        sl = slice(attr_base_mesh[k], attr_base_mesh[k + 1])
+        mesh_alpha_masks.append(
+            alpha_mode_np[pool["mat"][sl]] != ALPHA_OPAQUE
+        )
+    mesh_tris_full = [int(m.shape[0]) for m in mesh_alpha_masks]
+    any_alpha = any(m.any() for m in mesh_alpha_masks)
+    all_alpha = all(m.all() for m in mesh_alpha_masks)
+    n_virtual = int(tri_base[-1]) + mesh_tris_full[mesh_of[-1]] if I else 0
+
+    def _subset_bvh(want_alpha: bool):
+        sel_meshes, sel_ids, sel_full, remap = [], [], [], {}
+        for k, mask in enumerate(mesh_alpha_masks):
+            keep = mask if want_alpha else ~mask
+            if not keep.any():
+                continue
+            idx = np.nonzero(keep)[0].astype(np.int32)
+            mv0, mv1, mv2 = mesh_v[k]
+            remap[k] = len(sel_meshes)
+            sel_meshes.append((mv0[idx], mv1[idx], mv2[idx]))
+            sel_ids.append(idx)
+            sel_full.append(mesh_tris_full[k])
+        sel_inst, sel_base = [], []
+        for i, (mi, m) in enumerate(instances):
+            if mi in remap:
+                sel_inst.append((remap[mi], m))
+                sel_base.append(int(tri_base[i]))
+        return build_instanced_bvh(
+            sel_meshes, sel_inst,
+            mesh_prim_ids=sel_ids, mesh_tris_full=sel_full,
+            inst_tri_base_override=np.asarray(sel_base, np.int64),
+            n_tris_virtual=n_virtual,
+        )
+
+    if any_alpha and not all_alpha:
+        bvh = _subset_bvh(False)
+        bvh_alpha = _subset_bvh(True)
+    else:
+        bvh = build_instanced_bvh(mesh_v, instances)
+        bvh_alpha = None
+
     scene = SceneData(
-        bvh=build_instanced_bvh(mesh_v, instances),
+        bvh=bvh,
+        bvh_alpha=bvh_alpha,
         tri_gn=pool["gn"],
         tri_nrm=pool["nrm"],
         tri_uv=pool["uv"],

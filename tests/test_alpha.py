@@ -93,3 +93,83 @@ class TestAlphaTraversal:
         assert rng_out is rng
         # quad is hit regardless of its alpha (treated opaque)
         assert (np.abs(np.asarray(rec.t) - 3.0) < 1e-3).all()
+
+
+class TestOpaqueAlphaSplit:
+    """The opaque/alpha BVH split (scene/data.py SceneData.bvh_alpha) must
+    be invisible to results: a split scene and the same geometry traversed
+    through one monolithic BVH agree on every hit and occlusion query."""
+
+    def _mono(self, scene: SceneData):
+        """The same scene forced through ONE full BVH (the pre-split
+        traversal semantics)."""
+        from eidola_tpu.ops.bvh import build_bvh
+
+        assert scene.bvh_alpha is not None, "expected a split scene"
+        blocks = np.asarray(scene.bvh.leaf_blocks).reshape(-1, 12)
+        pid = np.asarray(scene.bvh.prim_id)
+        blocks_a = np.asarray(scene.bvh_alpha.leaf_blocks).reshape(-1, 12)
+        pid_a = np.asarray(scene.bvh_alpha.prim_id)
+        T = int(pid.max()) + 1 if pid.max() >= pid_a.max() else int(pid_a.max()) + 1
+        v0 = np.zeros((T, 3), np.float32)
+        v1 = np.zeros((T, 3), np.float32)
+        v2 = np.zeros((T, 3), np.float32)
+        for b, p in ((blocks, pid), (blocks_a, pid_a)):
+            occ = p >= 0
+            v0[p[occ]] = b[occ, 0:3]
+            v1[p[occ]] = b[occ, 0:3] + b[occ, 3:6]
+            v2[p[occ]] = b[occ, 0:3] + b[occ, 6:9]
+        return scene._replace(
+            bvh=build_bvh(v0, v1, v2), bvh_alpha=None
+        )
+
+    def test_split_matches_monolithic(self):
+        for alpha in (0.0, 1.0):
+            scene = _scene_with_mask_quad(alpha=alpha)
+            assert scene.bvh_alpha is not None   # the split kicked in
+            mono = self._mono(scene)
+            o, d = _rays()
+            rng = erng.seed_pixels(1, 64, jnp.uint32(5))[0]
+            for ageom in (True, False):
+                cfg = RenderConfig(width=8, height=8, alpha_geometry=ageom,
+                                   traversal_max_steps=512)
+                _, rec_s = trace_closest(
+                    cfg, scene, o, d, jnp.full(64, 1e-4),
+                    jnp.full(64, 1e8), rng)
+                _, rec_m = trace_closest(
+                    cfg, mono, o, d, jnp.full(64, 1e-4),
+                    jnp.full(64, 1e8), rng)
+                # rays on a shared edge may resolve the equal-t tie to
+                # either coplanar triangle -> compare hit mask, t and
+                # material (the physical outputs), not the tri id
+                np.testing.assert_array_equal(
+                    np.asarray(rec_s.tri) >= 0, np.asarray(rec_m.tri) >= 0)
+                np.testing.assert_allclose(
+                    np.asarray(rec_s.t), np.asarray(rec_m.t), rtol=1e-6)
+                mats = np.asarray(scene.tri_mat)
+                hit = np.asarray(rec_s.tri) >= 0
+                np.testing.assert_array_equal(
+                    mats[np.asarray(rec_s.tri)][hit],
+                    mats[np.asarray(rec_m.tri)][hit])
+                _, occ_s = trace_occlusion(
+                    cfg, scene, o, d, jnp.full(64, 1e-4),
+                    jnp.full(64, 4.0), rng)
+                _, occ_m = trace_occlusion(
+                    cfg, mono, o, d, jnp.full(64, 1e-4),
+                    jnp.full(64, 4.0), rng)
+                np.testing.assert_array_equal(
+                    np.asarray(occ_s), np.asarray(occ_m))
+
+    def test_split_global_ids_shade_consistently(self):
+        """Hit ids from the split BVHs index the SAME attribute arrays."""
+        scene = _scene_with_mask_quad(alpha=1.0)
+        cfg = RenderConfig(width=8, height=8, alpha_geometry=True,
+                           traversal_max_steps=512)
+        o, d = _rays()
+        rng = erng.seed_pixels(1, 64, jnp.uint32(1))[0]
+        _, rec = trace_closest(
+            cfg, scene, o, d, jnp.full(64, 1e-4), jnp.full(64, 1e8), rng)
+        tri = int(np.asarray(rec.tri)[0])
+        # the solid MASK quad (material 0) is the hit: global tri id must
+        # resolve to the MASK material through tri_mat
+        assert int(np.asarray(scene.tri_mat)[tri]) == 0

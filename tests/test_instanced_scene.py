@@ -257,3 +257,67 @@ class TestGltfInstanced:
         np.testing.assert_allclose(
             np.asarray(scene.inst.area_scale), [1.0, 1.0, 4.0], rtol=1e-5
         )
+
+
+class TestInstancedSplit:
+    """Opaque/alpha split on INSTANCED scenes: mixed-material meshes are
+    partitioned per triangle into two instanced BVHs that report ids in
+    the same virtual numbering (scene/data.py upload_scene_instanced)."""
+
+    def _scenes(self):
+        from eidola_tpu.scene.data import ALPHA_MASK
+
+        mats = [
+            {"base_color": [0.8, 0.6, 0.4, 1.0]},
+            {"base_color": [1, 1, 1, 0.0], "alpha_mode": ALPHA_MASK,
+             "alpha_cutoff": 0.5},       # fully transparent MASK
+        ]
+        m = _mesh(n=40, seed=9)          # mat_ids alternate 0/1
+        instances = [(0, _xform(1)), (0, _xform(2, scale=0.5))]
+        split = upload_scene_instanced([m], instances, materials=mats)
+        return split, m, instances, mats
+
+    def test_split_structures(self):
+        split, m, instances, mats = self._scenes()
+        assert split.bvh_alpha is not None
+        # virtual tri numbering covers both instances' full meshes
+        n_virtual = 2 * m["v0"].shape[0]
+        assert int(split.bvh.n_tris) == n_virtual
+        assert int(split.bvh_alpha.n_tris) == n_virtual
+        s_op = np.asarray(split.bvh.slot_of_tri)
+        s_al = np.asarray(split.bvh_alpha.slot_of_tri)
+        assert s_op.shape[0] == n_virtual and s_al.shape[0] == n_virtual
+        # every virtual tri is owned by exactly one half
+        own_op = s_op >= 0
+        own_al = s_al >= 0
+        assert (own_op ^ own_al).all()
+        # ownership matches material alpha-ness (mat_ids alternate 0/1,
+        # and the mesh repeats per instance)
+        alpha_local = np.asarray(m["mat_ids"]) == 1
+        want_alpha = np.concatenate([alpha_local, alpha_local])
+        np.testing.assert_array_equal(own_al, want_alpha)
+
+    def test_split_rays_see_through_alpha(self):
+        from eidola_tpu.ops import rng as erng
+        from eidola_tpu.render.config import RenderConfig
+        from eidola_tpu.render.tracer import trace_closest
+
+        split, m, instances, mats = self._scenes()
+        cfg = RenderConfig(width=8, height=8, alpha_geometry=True,
+                           traversal_max_steps=2048)
+        r = np.random.default_rng(3)
+        n = 64
+        o = jnp.asarray(r.uniform(-4, 4, (n, 3)).astype(np.float32))
+        dn = r.normal(size=(n, 3)).astype(np.float32)
+        d = jnp.asarray(dn / np.linalg.norm(dn, axis=1, keepdims=True))
+        rng = erng.seed_pixels(1, n, jnp.uint32(2))[0]
+        _, rec = trace_closest(
+            cfg, split, o, d, jnp.full(n, 1e-4), jnp.full(n, 1e8), rng)
+        tri = np.asarray(rec.tri)
+        hit = tri >= 0
+        # the transparent MASK half must never be the final hit
+        from eidola_tpu.scene.data import shade_row
+
+        rows, _ = shade_row(split, jnp.maximum(rec.tri, 0))
+        mat = np.asarray(split.tri_mat)[np.asarray(rows)]
+        assert (mat[hit] == 0).all()
