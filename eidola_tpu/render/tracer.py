@@ -13,8 +13,10 @@ compacted (compaction is a later optimization; SURVEY §5.7 wavefront note).
 """
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..ops import rng as erng
@@ -89,6 +91,120 @@ def _merge_closest(a, b):
     return type(a)(*[jnp.where(take_b, y, x) for x, y in zip(a, b)])
 
 
+def _alpha_march(scene: SceneData, hop_bvh, o, d, a_tmax, rec0, rng_state,
+                 budget: int, max_steps: int, occl: bool):
+    """HitTest hop loop on a COMPACTED queue (round 4).
+
+    The lockstep hop loop re-ran full-width passes per hop — sort, ray
+    gathers, the alpha texture test — even though only the small
+    passthrough set is live, and the measured cost was ~1 s per hop at 2M
+    rays REGARDLESS of live count (docs/PERF_NOTES.md round-4 alpha
+    attribution).  Here the candidate set (rays whose current record is an
+    untested alpha-BVH hit) is compacted into a C-ray queue each
+    iteration; the alpha test AND the re-trace run at C width, so hop
+    cost scales with the rays that actually hit foliage, like the
+    reference paying its anyhit shader only at alpha hits
+    (traceray_rq.glsl:87-101).
+
+    Per-ray semantics are identical to the lockstep loop (test -> re-trace
+    from just past the hit, up to `budget` rounds); only the BLEND rng
+    stream differs (rng is consumed per queued test, not per lane per
+    hop).  occl=True counts `budget` TESTS (a failed test = occluded) and
+    re-traces while tests remain; occl=False counts `budget` RE-TRACES
+    and the final re-trace's hit may stand untested, exactly like the
+    lockstep loop's last iteration.
+
+    Returns (rng_state, rec, occluded) shaped like rec0.
+    """
+    import numpy as _np
+
+    shape = rec0.t.shape
+    R = int(_np.prod(shape))
+    # queue capacity: ~R/EIDOLA_MARCH_DIV rounded to packets (measured
+    # foliage-hit fractions are well below 1/8; overflow = another lap)
+    div = int(os.environ.get("EIDOLA_MARCH_DIV", "8"))
+    frac = -(-R // div)
+    C = int(min(R, max(32768, -(-frac // 128) * 128)))
+
+    def flat(a):
+        return a.reshape((R,) + a.shape[len(shape):])
+
+    o_f, d_f = flat(o), flat(d)
+    tmax_f = jnp.broadcast_to(
+        jnp.asarray(a_tmax, jnp.float32), shape).reshape(R)
+    rec = type(rec0)(*[flat(x) for x in rec0])
+    rng_f = flat(rng_state)
+    iota = jnp.arange(R, dtype=jnp.int32)
+    pending = rec.tri >= 0
+    if not occl and budget <= 0:
+        pending = jnp.zeros_like(pending)
+    bleft = jnp.where(pending, jnp.int32(budget), 0)
+    occluded = jnp.zeros((R,), bool)
+
+    def cond(c):
+        return jnp.any(c[0])
+
+    def body(c):
+        pending, rec, rng_f, occluded, bleft = c
+        key = jnp.where(pending, iota, jnp.int32(R))
+        sel = jnp.argsort(key)[:C]
+        valid = pending[sel]
+        rec_sel = type(rec)(*[x[sel] for x in rec])
+        rng_new, pt = _alpha_passthrough(scene, rec_sel, rng_f[sel])
+        pt = pt & valid
+        b_sel = bleft[sel]
+        if occl:
+            b_sel = b_sel - valid.astype(jnp.int32)   # test consumed
+            occ_new = valid & ~pt                     # solid hit occludes
+            go = pt & (b_sel > 0)
+        else:
+            occ_new = jnp.zeros_like(valid)
+            go = pt                                   # entry => b_sel > 0
+            b_sel = b_sel - go.astype(jnp.int32)      # re-trace consumed
+        tn = jnp.where(go, rec_sel.t * (1.0 + 1e-4) + 1e-5, 1.0)
+        tx = jnp.where(go, tmax_f[sel], -1.0)
+        rec2 = closest_hit_sorted(
+            hop_bvh, o_f[sel], d_f[sel], tn, tx, max_steps=max_steps
+        )
+        rec_out = type(rec)(*[
+            jnp.where(go, y, x) for x, y in zip(rec_sel, rec2)
+        ])
+        requeue = go & (rec2.tri >= 0) & (occl | (b_sel > 0))
+        rec = type(rec)(*[
+            x.at[sel].set(jnp.where(valid, y, x[sel]))
+            for x, y in zip(rec, rec_out)
+        ])
+        rng_f = rng_f.at[sel].set(jnp.where(valid, rng_new, rng_f[sel]))
+        pending = pending.at[sel].set(requeue)
+        occluded = occluded.at[sel].set(occluded[sel] | occ_new)
+        bleft = bleft.at[sel].set(b_sel)
+        return pending, rec, rng_f, occluded, bleft
+
+    pending, rec, rng_f, occluded, _ = jax.lax.while_loop(
+        cond, body, (pending, rec, rng_f, occluded, bleft)
+    )
+    rec = type(rec)(*[x.reshape(shape) for x in rec])
+    return rng_f.reshape(shape), rec, occluded.reshape(shape)
+
+
+def _march_mode() -> str:
+    """auto (default: queue on TPU, lockstep on CPU) | queue | lockstep.
+    The queue march compacts globally, so under a multi-chip band context
+    (ops/halo.py) the lockstep loop keeps every pass shard-local.  On CPU
+    the march's nested while_loop blows XLA:CPU compile time past the
+    slow-compile alarm (same economics as EIDOLA_COMPACT=auto), and the
+    width-proportional cost it removes is a TPU phenomenon — so auto
+    keeps the lockstep loop there."""
+    from ..ops.halo import get_bands
+
+    if get_bands() > 1:
+        return "lockstep"
+    mode = os.environ.get("EIDOLA_ALPHA_MARCH", "auto")
+    if mode == "auto":
+        return "queue" if jax.default_backend() != "cpu" else "lockstep"
+    return mode
+
+
 def trace_closest(cfg: RenderConfig, scene: SceneData, o, d, t_min, t_max,
                   rng_state, coherent: bool = False, order=None):
     """Closest-hit with the HitTest alpha loop (ref traceray_rq.glsl
@@ -131,18 +247,26 @@ def trace_closest(cfg: RenderConfig, scene: SceneData, o, d, t_min, t_max,
     else:
         a_tmax = t_max
         rec_a = rec
-    for _ in range(cfg.alpha_hops):
-        rng_state, passthrough = _alpha_passthrough(scene, rec_a, rng_state)
-        new_tmin = rec_a.t * (1.0 + 1e-4) + 1e-5
-        rec2 = closest_hit_sorted(
-            hop_bvh, o, d,
-            jnp.where(passthrough, new_tmin, t_min),
-            jnp.where(passthrough, a_tmax, -1.0),
-            max_steps=cfg.traversal_max_steps, order=order,
+    if _march_mode() == "queue":
+        rng_state, rec_a, _ = _alpha_march(
+            scene, hop_bvh, o, d, a_tmax, rec_a, rng_state,
+            budget=cfg.alpha_hops, max_steps=cfg.traversal_max_steps,
+            occl=False,
         )
-        rec_a = type(rec_a)(*[
-            jnp.where(passthrough, b, a) for a, b in zip(rec_a, rec2)
-        ])
+    else:
+        for _ in range(cfg.alpha_hops):
+            rng_state, passthrough = _alpha_passthrough(
+                scene, rec_a, rng_state)
+            new_tmin = rec_a.t * (1.0 + 1e-4) + 1e-5
+            rec2 = closest_hit_sorted(
+                hop_bvh, o, d,
+                jnp.where(passthrough, new_tmin, t_min),
+                jnp.where(passthrough, a_tmax, -1.0),
+                max_steps=cfg.traversal_max_steps, order=order,
+            )
+            rec_a = type(rec_a)(*[
+                jnp.where(passthrough, b, a) for a, b in zip(rec_a, rec2)
+            ])
     if split:
         rec_a = _merge_closest(rec, rec_a)
     return rng_state, rec_a
@@ -178,16 +302,27 @@ def trace_occlusion(cfg: RenderConfig, scene: SceneData, o, d, t_min, t_max,
     if split:
         occluded = anyhit(scene.bvh, t_max)
         hop_bvh = scene.bvh_alpha
-        hops = cfg.alpha_hops + 1
     else:
         occluded = jnp.zeros(shape, bool)
         hop_bvh = scene.bvh
-        hops = cfg.alpha_hops + 1
+    hops = cfg.alpha_hops + 1
     cur_tmin = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), shape)
     cur_tmax = jnp.where(
         occluded, -1.0,
         jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), shape),
     )
+    if _march_mode() == "queue":
+        # one full-width closest (all unoccluded rays must consult the
+        # alpha set), then the test/re-trace march on the compacted queue
+        rec0 = closest_hit_sorted(
+            hop_bvh, o, d, cur_tmin, cur_tmax,
+            max_steps=cfg.traversal_max_steps, order=order,
+        )
+        rng_state, _, occ_a = _alpha_march(
+            scene, hop_bvh, o, d, cur_tmax, rec0, rng_state,
+            budget=hops, max_steps=cfg.traversal_max_steps, occl=True,
+        )
+        return rng_state, occluded | occ_a
     for _ in range(hops):
         rec = closest_hit_sorted(
             hop_bvh, o, d, cur_tmin, cur_tmax,

@@ -173,3 +173,56 @@ class TestOpaqueAlphaSplit:
         # the solid MASK quad (material 0) is the hit: global tri id must
         # resolve to the MASK material through tri_mat
         assert int(np.asarray(scene.tri_mat)[tri]) == 0
+
+
+class TestQueueMarchEquivalence:
+    """The compacted alpha-march queue (render/tracer.py _alpha_march)
+    must agree with the lockstep hop loop wherever the result is
+    deterministic: MASK materials consume no rng in the alpha test, so
+    hit records and occlusion must match EXACTLY across the two modes
+    (BLEND materials differ only in rng stream, covered statistically by
+    the estimator suites)."""
+
+    @pytest.mark.parametrize("alpha", [0.0, 1.0])
+    def test_queue_matches_lockstep_mask(self, monkeypatch, alpha):
+        import eidola_tpu.render.tracer as TR
+
+        # stacked MASK quads so rays genuinely hop several times
+        quads = []
+        for k in range(3):
+            z = 1.0 + 0.3 * k
+            quads.append(quad_tris([-2, -2, z], [2, -2, z],
+                                   [2, 2, z], [-2, 2, z]))
+        box = box_tris([0, 0, -1.0], [0.5, 0.5, 0.5])
+        tris = np.concatenate(quads + [box])
+        nq = sum(q.shape[0] for q in quads)
+        mats = np.concatenate([
+            np.zeros(nq, np.int32), np.ones(box.shape[0], np.int32)])
+        scene = upload_scene(
+            tris[:, 0], tris[:, 1], tris[:, 2], mat_ids=mats,
+            materials=[
+                {"base_color": [1, 1, 1, alpha], "alpha_mode": ALPHA_MASK,
+                 "alpha_cutoff": 0.5},
+                {"base_color": [0.5, 0.2, 0.2, 1.0]},
+            ],
+        )
+        o, d = _rays()
+        rng = erng.seed_pixels(1, 64, jnp.uint32(5))[0]
+        cfg = RenderConfig(width=8, height=8, alpha_geometry=True,
+                           alpha_hops=4, traversal_max_steps=512)
+        out = {}
+        for mode in ("queue", "lockstep"):
+            monkeypatch.setenv("EIDOLA_ALPHA_MARCH", mode)
+            _, rec = trace_closest(
+                cfg, scene, o, d, jnp.full(64, 1e-4),
+                jnp.full(64, 1e8), rng)
+            _, occ = trace_occlusion(
+                cfg, scene, o, d, jnp.full(64, 1e-4),
+                jnp.full(64, 6.0), rng)
+            out[mode] = (rec, occ)
+        rq, oq = out["queue"]
+        rl, ol = out["lockstep"]
+        np.testing.assert_array_equal(np.asarray(rq.tri), np.asarray(rl.tri))
+        np.testing.assert_allclose(np.asarray(rq.t), np.asarray(rl.t),
+                                   rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(oq), np.asarray(ol))
