@@ -144,11 +144,22 @@ def _alpha_march(scene: SceneData, hop_bvh, o, d, a_tmax, rec0, rng_state,
     def cond(c):
         return jnp.any(c[0])
 
+    # queue selection: nonzero (prefix-sum compaction, O(R), default) vs
+    # argsort (bitonic O(R log^2 R)); both produce the same lanes in the
+    # same index order.  nonzero's fill lanes index R = one-past-the-end:
+    # gathers clamp (masked by `valid`), scatters use mode="drop".
+    sel_mode = os.environ.get("EIDOLA_MARCH_SEL", "nonzero")
+
     def body(c):
         pending, rec, rng_f, occluded, bleft = c
-        key = jnp.where(pending, iota, jnp.int32(R))
-        sel = jnp.argsort(key)[:C]
-        valid = pending[sel]
+        if sel_mode == "nonzero":
+            cnt = jnp.sum(pending, dtype=jnp.int32)
+            sel = jnp.nonzero(pending, size=C, fill_value=R)[0]
+            valid = jnp.arange(C, dtype=jnp.int32) < cnt
+        else:
+            key = jnp.where(pending, iota, jnp.int32(R))
+            sel = jnp.argsort(key)[:C]
+            valid = pending[sel]
         rec_sel = type(rec)(*[x[sel] for x in rec])
         rng_new, pt = _alpha_passthrough(scene, rec_sel, rng_f[sel])
         pt = pt & valid
@@ -171,13 +182,17 @@ def _alpha_march(scene: SceneData, hop_bvh, o, d, a_tmax, rec0, rng_state,
         ])
         requeue = go & (rec2.tri >= 0) & (occl | (b_sel > 0))
         rec = type(rec)(*[
-            x.at[sel].set(jnp.where(valid, y, x[sel]))
+            x.at[sel].set(jnp.where(valid, y, x[sel]), mode="drop")
             for x, y in zip(rec, rec_out)
         ])
-        rng_f = rng_f.at[sel].set(jnp.where(valid, rng_new, rng_f[sel]))
-        pending = pending.at[sel].set(requeue)
-        occluded = occluded.at[sel].set(occluded[sel] | occ_new)
-        bleft = bleft.at[sel].set(b_sel)
+        rng_f = rng_f.at[sel].set(
+            jnp.where(valid, rng_new, rng_f[sel]), mode="drop")
+        pending = pending.at[sel].set(
+            jnp.where(valid, requeue, pending[sel]), mode="drop")
+        occluded = occluded.at[sel].set(
+            occluded[sel] | occ_new, mode="drop")
+        bleft = bleft.at[sel].set(
+            jnp.where(valid, b_sel, bleft[sel]), mode="drop")
         return pending, rec, rng_f, occluded, bleft
 
     pending, rec, rng_f, occluded, _ = jax.lax.while_loop(

@@ -211,8 +211,10 @@ class TestQueueMarchEquivalence:
         cfg = RenderConfig(width=8, height=8, alpha_geometry=True,
                            alpha_hops=4, traversal_max_steps=512)
         out = {}
-        for mode in ("queue", "lockstep"):
-            monkeypatch.setenv("EIDOLA_ALPHA_MARCH", mode)
+        for mode in ("queue-nonzero", "queue-argsort", "lockstep"):
+            march, _, sel = mode.partition("-")
+            monkeypatch.setenv("EIDOLA_ALPHA_MARCH", march)
+            monkeypatch.setenv("EIDOLA_MARCH_SEL", sel or "nonzero")
             _, rec = trace_closest(
                 cfg, scene, o, d, jnp.full(64, 1e-4),
                 jnp.full(64, 1e8), rng)
@@ -220,9 +222,12 @@ class TestQueueMarchEquivalence:
                 cfg, scene, o, d, jnp.full(64, 1e-4),
                 jnp.full(64, 6.0), rng)
             out[mode] = (rec, occ)
-        rq, oq = out["queue"]
         rl, ol = out["lockstep"]
-        np.testing.assert_array_equal(np.asarray(rq.tri), np.asarray(rl.tri))
-        np.testing.assert_allclose(np.asarray(rq.t), np.asarray(rl.t),
-                                   rtol=1e-6)
-        np.testing.assert_array_equal(np.asarray(oq), np.asarray(ol))
+        for qmode in ("queue-nonzero", "queue-argsort"):
+            rq, oq = out[qmode]
+            np.testing.assert_array_equal(
+                np.asarray(rq.tri), np.asarray(rl.tri), err_msg=qmode)
+            np.testing.assert_allclose(np.asarray(rq.t), np.asarray(rl.t),
+                                       rtol=1e-6, err_msg=qmode)
+            np.testing.assert_array_equal(
+                np.asarray(oq), np.asarray(ol), err_msg=qmode)
