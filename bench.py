@@ -89,8 +89,11 @@ def main():
     has_alpha = bool((np.asarray(scene.materials.alpha_mode) != 0).any())
 
     # Reference config: maxDepth 4, RIS M=4, temporal reuse, 4/5 denoise
-    # levels (BASELINE.md "algorithm constants").
-    cfg = RenderConfig(width=W, height=H, max_depth=4, env_mode="sunsky",
+    # levels (BASELINE.md "algorithm constants").  bistro_hdr matches the
+    # reference's actual benchmark lighting (HDR env + alias-table
+    # sampling, hdr_sampling.cpp:107-242) instead of the sun&sky model.
+    env_mode = "hdr" if scene.env is not None else "sunsky"
+    cfg = RenderConfig(width=W, height=H, max_depth=4, env_mode=env_mode,
                        alpha_geometry=has_alpha)
     params, tm = default_params(), default_tonemap()
 
@@ -121,14 +124,37 @@ def main():
 
     ms = measure(cfg)
 
-    # rays issued per frame (attribution for round-over-round comparison):
-    # 1 primary + 1 DI shadow per pixel; GI at quarter pixel count traces
-    # 1 bsdf + per-bounce (NEE shadow + continuation) on the 1-bounce set
-    # plus (max_depth-1) deep bounces x 2 on the ~1/4 compacted tile set
+    # rays issued per frame: MODELED from the config by default (1 primary
+    # + 1 DI shadow per pixel; GI at quarter pixel count traces 1 bsdf +
+    # per-bounce NEE shadow + continuation, plus deep tiles).  With
+    # EIDOLA_BENCH_RAYCOUNT=1 the count is MEASURED by live-lane counters
+    # inserted at every traversal front door (ops/packets.py RAY_LEDGER) —
+    # one extra compile of the frame with host callbacks.
     n_pix = W * H
     n_half = n_pix // 4
     deep = (n_half // 4) * 2 * max(cfg.max_depth - 1, 0)
     rays = n_pix * 2 + n_half * 3 + deep
+    method = "modeled"
+    if os.environ.get("EIDOLA_BENCH_RAYCOUNT") == "1":
+        from eidola_tpu.ops import packets as _pk
+
+        os.environ["EIDOLA_COUNT_RAYS"] = "1"
+        try:
+            state = init_frame_state(cfg, cam)
+            step_c = jax.jit(
+                lambda sc, c, p, t, st: render_frame(cfg, sc, c, p, t, st)
+            )
+            st2, out = step_c(scene, cam, params, tm, state)
+            jax.block_until_ready(out["image"])
+            # count a steady-state frame (the first resets accumulation)
+            _pk.RAY_LEDGER.clear()
+            st2, out = step_c(scene, cam, params, tm, st2)
+            jax.block_until_ready(out["image"])
+            jax.effects_barrier()
+            rays = sum(_pk.RAY_LEDGER)
+            method = "measured: live-lane traversal counters"
+        finally:
+            os.environ.pop("EIDOLA_COUNT_RAYS", None)
     result = {
         "metric": f"restir_di_gi_denoise_1080p_ms ({n_tris} tris, "
                   f"{jax.devices()[0].device_kind})",
@@ -136,6 +162,7 @@ def main():
         "unit": "ms/frame",
         "vs_baseline": round(BASELINE_MS / ms, 4),
         "mrays_per_s": round(rays / ms / 1e3, 2),
+        "mrays_method": method,
     }
     if os.environ.get("EIDOLA_BENCH_BREAKDOWN"):
         # per-stage attribution by ablation (extra full compiles — not run

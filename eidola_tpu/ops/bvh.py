@@ -76,6 +76,8 @@ OCT_ORDER = os.environ.get("EIDOLA_OCT", "1") == "1"
 # chops straddling triangle references at bin planes to cut child overlap
 # (fewer packet leaf events); numpy-only build path, opt-in until measured
 SBVH = os.environ.get("EIDOLA_SBVH", "0") == "1"
+# frontier size of the pre-cull cover table (ops/bvh_build.collect_frontier)
+CULL_K = int(os.environ.get("EIDOLA_CULL_K", "64"))
 
 
 def _fused_mt_active() -> bool:
@@ -114,6 +116,10 @@ class BVH(NamedTuple):
     # seeding a traversal's t_max by re-testing a PREDICTED triangle (e.g.
     # last frame's hit at the same pixel, render/direct.py primary_seed)
     slot_of_tri: jnp.ndarray | None = None  # (T,) i32
+    # greedy SAH-cut cover of the tree (ops/bvh_build.collect_frontier):
+    # a ray segment missing every box provably misses the whole tree —
+    # the alpha pre-cull table (render/tracer.py, EIDOLA_ALPHA_CULL)
+    cull_boxes: jnp.ndarray | None = None   # (K, 6) f32
 
     @property
     def leaf_size(self) -> int:
@@ -260,6 +266,10 @@ def build_bvh(
 
         walk_oct = build_octant_tables(walk)
 
+    from .bvh_build import collect_frontier
+
+    cull_boxes = collect_frontier(walk, CULL_K)
+
     if prim_ids is not None:
         ids = np.asarray(prim_ids, np.int32)
         assert ids.shape[0] == T
@@ -284,6 +294,7 @@ def build_bvh(
         leaf_anchor=copt(leaf_anchor),
         walk_oct=copt(walk_oct),
         slot_of_tri=conv(slot_of_tri),
+        cull_boxes=conv(cull_boxes),
     )
 
 

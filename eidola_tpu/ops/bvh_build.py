@@ -337,3 +337,47 @@ def flatten_preorder(lefts, rights, bmin, bmax, node_tris, leaf_size: int):
             stack.append((l, right_pos))
     assert cursor == n_nodes
     return out_bmin, out_bmax, esc_arr, blk_arr, leaf_tris
+
+
+def collect_frontier(walk: np.ndarray, k_max: int) -> np.ndarray:
+    """Up to k_max node AABBs that exactly cover the tree's geometry: a
+    greedy cut of the flattened preorder walk, always expanding the
+    largest-surface-area node (its box is replaced by its two children's).
+
+    Used as a RAY PRE-CULL table (render/tracer.py alpha cull): a ray
+    segment missing every frontier box provably misses everything in the
+    tree, because the frontier is a full cover.  Returns (k_max, 6)
+    [bmin, bmax]; unused rows are degenerate (min > max) so a slab test
+    can never pass them.
+    """
+    import heapq
+
+    walk = np.asarray(walk, np.float32)
+    n = walk.shape[0]
+    esc = walk[:, 6].view(np.int32)
+    leaf = walk[:, 7].view(np.int32)
+
+    def area(i):
+        e = np.maximum(walk[i, 3:6] - walk[i, 0:3], 0.0)
+        return float(2.0 * (e[0] * e[1] + e[1] * e[2] + e[0] * e[2]))
+
+    heap = [(-area(0), 0)]
+    done: list[int] = []
+    while heap and (len(heap) + len(done)) < k_max:
+        _, i = heapq.heappop(heap)
+        if leaf[i] >= 0:          # leaf: can't expand further
+            done.append(i)
+            continue
+        l = i + 1                 # preorder: left child follows its parent
+        r = int(esc[l])           # left child's escape IS the right sibling
+        if r < 0 or r >= n:       # defensive: malformed link, keep the node
+            done.append(i)
+            continue
+        heapq.heappush(heap, (-area(l), l))
+        heapq.heappush(heap, (-area(r), r))
+    idx = done + [i for (_, i) in heap]
+    out = np.empty((k_max, 6), np.float32)
+    out[:, 0:3] = 1.0   # degenerate (min > max): slab test never passes
+    out[:, 3:6] = 0.0
+    out[: len(idx)] = walk[idx, 0:6]
+    return out

@@ -34,7 +34,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .bvh import _BIG, build_bvh
+from .bvh import _BIG, CULL_K, build_bvh
+from .bvh_build import collect_frontier
 
 
 class InstIndex(NamedTuple):
@@ -76,6 +77,8 @@ class InstancedBVH(NamedTuple):
     # so last frame's hit can be re-tested in instance object space
     slot_of_tri: jnp.ndarray | None = None  # (T,) i32 pool leaf slot
     inst_of_tri: jnp.ndarray | None = None  # (T,) i32 instance id
+    # pre-cull cover of the grafted walk (ops/bvh_build.collect_frontier)
+    cull_boxes: jnp.ndarray | None = None   # (K, 6) f32
 
     @property
     def leaf_size(self) -> int:
@@ -353,4 +356,5 @@ def build_instanced_bvh(
         walk_oct=walk_oct,
         slot_of_tri=jnp.asarray(slot_of_tri),
         inst_of_tri=jnp.asarray(inst_of_tri),
+        cull_boxes=jnp.asarray(collect_frontier(walk, CULL_K)),
     )

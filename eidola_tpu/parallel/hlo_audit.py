@@ -24,7 +24,7 @@ _DTYPE_BYTES = {
 }
 
 _SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
-_INSTR_RE = re.compile(r"%?[\w.-]+ = (.+?) ([\w-]+)\(")
+_INSTR_RE = re.compile(r"(?:ROOT )?%?[\w.-]+ = (.+?) ([\w-]+)\(")
 
 COLLECTIVES = (
     "all-gather", "all-reduce", "collective-permute", "all-to-all",
@@ -55,7 +55,16 @@ def collective_inventory(hlo_text: str):
         if not m:
             continue
         shape_text, op = m.groups()
-        if op in COLLECTIVES or any(op.startswith(c + ".") for c in COLLECTIVES):
+        # TPU-compiled modules emit ASYNC pairs (all-reduce-start /
+        # all-reduce-done): count the -start once (its shape carries the
+        # payload); counting sync names only would report ~0 bytes on real
+        # hardware and make the audit pass vacuously
+        if op.endswith("-done"):
+            continue
+        if any(
+            op == c or op == c + "-start" or op.startswith(c + ".")
+            for c in COLLECTIVES
+        ):
             out.append((op, shape_bytes(shape_text), s))
     return out
 

@@ -150,6 +150,12 @@ def direct_stage(
         ptc = jnp.maximum(pt, 0)
         slot = scene.bvh.slot_of_tri[ptc]
         row = scene.bvh.leaf_blocks.reshape(-1, 12)[slot]      # (H, W, 12)
+        # slot/inst tables hold -1 for ids this BVH does not own (the
+        # opaque/alpha split's other half, unoccupied entries): a -1 wraps
+        # the gather to the LAST pool row — on instanced scenes that
+        # re-tests one mesh's triangle under another instance's inverse
+        # transform, a phantom hit whose t would wrongly bound t_max0 and
+        # make the primary trace miss real geometry.  Guard unconditionally.
         if scene.inst is None:
             o_t, d_t = o, d
         else:
@@ -161,7 +167,7 @@ def direct_stage(
             o_t, d_t, row[..., 0:3], row[..., 3:6], row[..., 6:9],
             _TMIN, _TMAX,
         )
-        ok = (pt >= 0) & p_hit
+        ok = (pt >= 0) & (slot >= 0) & p_hit
         if cfg.alpha_geometry:
             # only OPAQUE predicted hits may bound the trace: an alpha
             # hit could be discarded by HitTest, and a bound at its t

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from ..ops import rng as erng
 from ..ops.packets import (
     any_hit_img, any_hit_sorted, closest_hit_img, closest_hit_sorted,
+    make_ray_order,
 )
 from ..ops.math import (
     dot3,
@@ -114,17 +115,32 @@ def _alpha_march(scene: SceneData, hop_bvh, o, d, a_tmax, rec0, rng_state,
     and the final re-trace's hit may stand untested, exactly like the
     lockstep loop's last iteration.
 
+    Under a multi-chip band context (ops/halo.py) the march runs
+    BAND-LOCALLY: all state is reshaped to (B, R/B) and the whole
+    select→test→re-trace loop is vmapped over the band axis, so the
+    compaction (per-band nonzero), the queue gathers/scatters and the
+    re-trace all carry the row-shard axis as a batch dim and SPMD keeps
+    every pass shard-local — no cross-shard argsort (round 5; the round-4
+    fallback forced the width-proportional lockstep loop under bands).
+
     Returns (rng_state, rec, occluded) shaped like rec0.
     """
     import numpy as _np
 
+    from ..ops.halo import get_bands
+
     shape = rec0.t.shape
     R = int(_np.prod(shape))
+    B = get_bands()
+    if not (B > 1 and R % B == 0 and (R // B) % 128 == 0):
+        B = 1
+    Rl = R // B
     # queue capacity: ~R/EIDOLA_MARCH_DIV rounded to packets (measured
     # foliage-hit fractions are well below 1/8; overflow = another lap)
     div = int(os.environ.get("EIDOLA_MARCH_DIV", "8"))
-    frac = -(-R // div)
-    C = int(min(R, max(32768, -(-frac // 128) * 128)))
+    frac = -(-Rl // div)
+    C = int(min(Rl, max(32768 // B if B > 1 else 32768,
+                        -(-frac // 128) * 128)))
 
     def flat(a):
         return a.reshape((R,) + a.shape[len(shape):])
@@ -134,15 +150,9 @@ def _alpha_march(scene: SceneData, hop_bvh, o, d, a_tmax, rec0, rng_state,
         jnp.asarray(a_tmax, jnp.float32), shape).reshape(R)
     rec = type(rec0)(*[flat(x) for x in rec0])
     rng_f = flat(rng_state)
-    iota = jnp.arange(R, dtype=jnp.int32)
-    pending = rec.tri >= 0
+    pending0 = rec.tri >= 0
     if not occl and budget <= 0:
-        pending = jnp.zeros_like(pending)
-    bleft = jnp.where(pending, jnp.int32(budget), 0)
-    occluded = jnp.zeros((R,), bool)
-
-    def cond(c):
-        return jnp.any(c[0])
+        pending0 = jnp.zeros_like(pending0)
 
     # queue selection: nonzero (prefix-sum compaction, O(R), default) vs
     # argsort (bitonic O(R log^2 R)); both produce the same lanes in the
@@ -150,70 +160,149 @@ def _alpha_march(scene: SceneData, hop_bvh, o, d, a_tmax, rec0, rng_state,
     # gathers clamp (masked by `valid`), scatters use mode="drop".
     sel_mode = os.environ.get("EIDOLA_MARCH_SEL", "nonzero")
 
-    def body(c):
-        pending, rec, rng_f, occluded, bleft = c
-        if sel_mode == "nonzero":
-            cnt = jnp.sum(pending, dtype=jnp.int32)
-            sel = jnp.nonzero(pending, size=C, fill_value=R)[0]
-            valid = jnp.arange(C, dtype=jnp.int32) < cnt
-        else:
-            key = jnp.where(pending, iota, jnp.int32(R))
-            sel = jnp.argsort(key)[:C]
-            valid = pending[sel]
-        rec_sel = type(rec)(*[x[sel] for x in rec])
-        rng_new, pt = _alpha_passthrough(scene, rec_sel, rng_f[sel])
-        pt = pt & valid
-        b_sel = bleft[sel]
-        if occl:
-            b_sel = b_sel - valid.astype(jnp.int32)   # test consumed
-            occ_new = valid & ~pt                     # solid hit occludes
-            go = pt & (b_sel > 0)
-        else:
-            occ_new = jnp.zeros_like(valid)
-            go = pt                                   # entry => b_sel > 0
-            b_sel = b_sel - go.astype(jnp.int32)      # re-trace consumed
-        tn = jnp.where(go, rec_sel.t * (1.0 + 1e-4) + 1e-5, 1.0)
-        tx = jnp.where(go, tmax_f[sel], -1.0)
-        rec2 = closest_hit_sorted(
-            hop_bvh, o_f[sel], d_f[sel], tn, tx, max_steps=max_steps
-        )
-        rec_out = type(rec)(*[
-            jnp.where(go, y, x) for x, y in zip(rec_sel, rec2)
-        ])
-        requeue = go & (rec2.tri >= 0) & (occl | (b_sel > 0))
-        rec = type(rec)(*[
-            x.at[sel].set(jnp.where(valid, y, x[sel]), mode="drop")
-            for x, y in zip(rec, rec_out)
-        ])
-        rng_f = rng_f.at[sel].set(
-            jnp.where(valid, rng_new, rng_f[sel]), mode="drop")
-        pending = pending.at[sel].set(
-            jnp.where(valid, requeue, pending[sel]), mode="drop")
-        occluded = occluded.at[sel].set(
-            occluded[sel] | occ_new, mode="drop")
-        bleft = bleft.at[sel].set(
-            jnp.where(valid, b_sel, bleft[sel]), mode="drop")
-        return pending, rec, rng_f, occluded, bleft
+    def march(o_f, d_f, tmax_f, rec, rng_f, pending):
+        """The hop loop over one (band-local) flat ray set of Rl rays.
 
-    pending, rec, rng_f, occluded, _ = jax.lax.while_loop(
-        cond, body, (pending, rec, rng_f, occluded, bleft)
-    )
+        STAGED CAPACITIES (round 5): one full-width trace attribution
+        (tools/alpha_ab.py --full, PERF_NOTES round 5) put ~640-700 ms of
+        a 1.1-1.3 s trace in this loop — every lap re-paid the full
+        C = R/8 queue width while the live count collapses geometrically
+        after the first test (requeue fractions are small).  Like the
+        walk's staged compaction, the lap runs at capacity C while the
+        pending count exceeds C/4, then at C/4, then C/16: per-lap cost
+        tracks the rays that still need hops.  Results are identical —
+        selection order and per-ray hop sequences don't change, only how
+        many fill lanes ride along."""
+        iota = jnp.arange(Rl, dtype=jnp.int32)
+        bleft = jnp.where(pending, jnp.int32(budget), 0)
+        occluded = jnp.zeros((Rl,), bool)
+
+        caps = [C]
+        cmin = min(C, max(2048, 32768 // B))
+        while caps[-1] > cmin and len(caps) < 3:
+            caps.append(max(-(-(caps[-1] // 4) // 128) * 128, cmin))
+
+        def make_body(cap):
+            def body(c):
+                pending, rec, rng_f, occluded, bleft = c
+                if sel_mode == "nonzero":
+                    cnt = jnp.sum(pending, dtype=jnp.int32)
+                    sel = jnp.nonzero(pending, size=cap, fill_value=Rl)[0]
+                    valid = jnp.arange(cap, dtype=jnp.int32) < cnt
+                else:
+                    key = jnp.where(pending, iota, jnp.int32(Rl))
+                    sel = jnp.argsort(key)[:cap]
+                    valid = pending[sel]
+                rec_sel = type(rec)(*[x[sel] for x in rec])
+                rng_new, pt = _alpha_passthrough(scene, rec_sel, rng_f[sel])
+                pt = pt & valid
+                b_sel = bleft[sel]
+                if occl:
+                    b_sel = b_sel - valid.astype(jnp.int32)  # test consumed
+                    occ_new = valid & ~pt                # solid hit occludes
+                    go = pt & (b_sel > 0)
+                else:
+                    occ_new = jnp.zeros_like(valid)
+                    go = pt                              # entry => b_sel > 0
+                    b_sel = b_sel - go.astype(jnp.int32)  # re-trace consumed
+                tn = jnp.where(go, rec_sel.t * (1.0 + 1e-4) + 1e-5, 1.0)
+                tx = jnp.where(go, tmax_f[sel], -1.0)
+                rec2 = closest_hit_sorted(
+                    hop_bvh, o_f[sel], d_f[sel], tn, tx, max_steps=max_steps
+                )
+                rec_out = type(rec)(*[
+                    jnp.where(go, y, x) for x, y in zip(rec_sel, rec2)
+                ])
+                requeue = go & (rec2.tri >= 0) & (occl | (b_sel > 0))
+                rec = type(rec)(*[
+                    x.at[sel].set(jnp.where(valid, y, x[sel]), mode="drop")
+                    for x, y in zip(rec, rec_out)
+                ])
+                rng_f = rng_f.at[sel].set(
+                    jnp.where(valid, rng_new, rng_f[sel]), mode="drop")
+                pending = pending.at[sel].set(
+                    jnp.where(valid, requeue, pending[sel]), mode="drop")
+                occluded = occluded.at[sel].set(
+                    occluded[sel] | occ_new, mode="drop")
+                bleft = bleft.at[sel].set(
+                    jnp.where(valid, b_sel, bleft[sel]), mode="drop")
+                return pending, rec, rng_f, occluded, bleft
+            return body
+
+        state = (pending, rec, rng_f, occluded, bleft)
+        for k, cap in enumerate(caps):
+            nxt = caps[k + 1] if k + 1 < len(caps) else 0
+
+            def cond(c, _n=jnp.int32(nxt)):
+                return jnp.sum(c[0], dtype=jnp.int32) > _n
+
+            state = jax.lax.while_loop(cond, make_body(cap), state)
+        pending, rec, rng_f, occluded, _ = state
+        return rec, rng_f, occluded
+
+    if B > 1:
+        bander = lambda a: a.reshape((B, Rl) + a.shape[1:])
+        rec, rng_f, occluded = jax.vmap(march)(
+            bander(o_f), bander(d_f), bander(tmax_f),
+            type(rec)(*[bander(x) for x in rec]),
+            bander(rng_f), bander(pending0),
+        )
+    else:
+        rec, rng_f, occluded = march(o_f, d_f, tmax_f, rec, rng_f, pending0)
     rec = type(rec)(*[x.reshape(shape) for x in rec])
     return rng_f.reshape(shape), rec, occluded.reshape(shape)
 
 
+def _reach_boxes(boxes, o, d, t_min, t_max):
+    """Conservative segment-vs-cover test: does [t_min, t_max] of ray
+    (o, d) intersect ANY box of a frontier cover (collect_frontier)?  The
+    cover contains all of the tree's geometry, so False provably means the
+    ray cannot hit anything in that tree.  boxes: (K, 6); K is small
+    (EIDOLA_CULL_K), statically unrolled — ~20 VPU ops per box on the ray
+    field, fused by XLA into one elementwise pass."""
+    shape = jnp.broadcast_shapes(
+        o.shape[:-1],
+        jnp.shape(t_min) if jnp.ndim(t_min) else (),
+        jnp.shape(t_max) if jnp.ndim(t_max) else (),
+    )
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), shape)
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), shape)
+    inv = jnp.where(d >= 0.0, 1.0, -1.0) / jnp.maximum(jnp.abs(d), 1e-12)
+    reach = jnp.zeros(shape, bool)
+    for k in range(boxes.shape[0]):
+        b = boxes[k]
+        t0 = (b[0:3] - o) * inv
+        t1 = (b[3:6] - o) * inv
+        tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+        tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        reach = reach | ((tn <= tf) & (tf >= t_min) & (tn <= t_max))
+    return reach
+
+
+def _alpha_cull_on(hop_bvh) -> bool:
+    """Pre-cull rays against the alpha tree's cover before the mandatory
+    full-width closest-hit (EIDOLA_ALPHA_CULL=1).  Culled rays get
+    t_max < t_min AND a fresh dead-clustered sort, so their packets retire
+    in one step.  MEASURED LOSS on bistro_standin primaries (v5 lite,
+    round 5): 354->411 ms instanced / 300->339 ms flat — the K=64 cover
+    only rules out ~40% of rays and the opaque-hit t_max bound already
+    retires those packets near the root, so the fresh sort (+~42 ms) and
+    the reach test buy nothing.  Kept opt-in for scenes whose alpha set is
+    spatially concentrated (where reach would be ~10%)."""
+    if getattr(hop_bvh, "cull_boxes", None) is None:
+        return False
+    return os.environ.get("EIDOLA_ALPHA_CULL", "0") == "1"
+
+
 def _march_mode() -> str:
     """auto (default: queue on TPU, lockstep on CPU) | queue | lockstep.
-    The queue march compacts globally, so under a multi-chip band context
-    (ops/halo.py) the lockstep loop keeps every pass shard-local.  On CPU
-    the march's nested while_loop blows XLA:CPU compile time past the
-    slow-compile alarm (same economics as EIDOLA_COMPACT=auto), and the
+    Under a multi-chip band context (ops/halo.py) the queue march runs
+    band-locally (vmapped over the row-shard axis, see _alpha_march), so
+    it no longer needs the round-4 lockstep fallback.  On CPU the march's
+    nested while_loop blows XLA:CPU compile time past the slow-compile
+    alarm (same economics as EIDOLA_COMPACT=auto), and the
     width-proportional cost it removes is a TPU phenomenon — so auto
     keeps the lockstep loop there."""
-    from ..ops.halo import get_bands
-
-    if get_bands() > 1:
-        return "lockstep"
     mode = os.environ.get("EIDOLA_ALPHA_MARCH", "auto")
     if mode == "auto":
         return "queue" if jax.default_backend() != "cpu" else "lockstep"
@@ -258,7 +347,19 @@ def trace_closest(cfg: RenderConfig, scene: SceneData, o, d, t_min, t_max,
             jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), rec.t.shape),
             rec.t,
         )
-        rec_a = closest(scene.bvh_alpha, t_min, a_tmax)
+        if _alpha_cull_on(hop_bvh):
+            # rays whose bounded segment misses the alpha cover can't hit
+            # alpha geometry: kill them (t_max < t_min) and sort dead-first
+            # so their packets retire in one step
+            reach = _reach_boxes(hop_bvh.cull_boxes, o, d, t_min, a_tmax)
+            a_tmax = jnp.where(reach, a_tmax, -1.0)
+            order_a = make_ray_order(hop_bvh, o, d, dead=~reach)
+            rec_a = closest_hit_sorted(
+                hop_bvh, o, d, t_min, a_tmax,
+                max_steps=cfg.traversal_max_steps, order=order_a,
+            )
+        else:
+            rec_a = closest(scene.bvh_alpha, t_min, a_tmax)
     else:
         a_tmax = t_max
         rec_a = rec
@@ -326,6 +427,13 @@ def trace_occlusion(cfg: RenderConfig, scene: SceneData, o, d, t_min, t_max,
         occluded, -1.0,
         jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), shape),
     )
+    if _alpha_cull_on(hop_bvh):
+        # rays whose shadow segment misses the alpha cover can't be
+        # blocked by alpha geometry: kill them before the mandatory
+        # closest-hit and cluster dead rays by a fresh sort
+        reach = _reach_boxes(hop_bvh.cull_boxes, o, d, cur_tmin, cur_tmax)
+        cur_tmax = jnp.where(reach, cur_tmax, -1.0)
+        order = make_ray_order(hop_bvh, o, d, dead=~reach)
     if _march_mode() == "queue":
         # one full-width closest (all unoccluded rays must consult the
         # alpha set), then the test/re-trace march on the compacted queue

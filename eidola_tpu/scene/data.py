@@ -11,6 +11,7 @@ decodes them on the VPU for free and it quarters the gather bandwidth.
 """
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
@@ -707,16 +708,49 @@ def upload_scene_instanced(
             if mi in remap:
                 sel_inst.append((remap[mi], m))
                 sel_base.append(int(tri_base[i]))
+        leaf = os.environ.get("EIDOLA_ALPHA_LEAF") if want_alpha else None
         return build_instanced_bvh(
             sel_meshes, sel_inst,
             mesh_prim_ids=sel_ids, mesh_tris_full=sel_full,
             inst_tri_base_override=np.asarray(sel_base, np.int64),
             n_tris_virtual=n_virtual,
+            leaf_size=int(leaf) if leaf else None,
         )
 
+    def _flat_alpha_bvh():
+        """World-space FLAT BVH over the alpha subset (ids stay in the
+        shared virtual numbering, so shading is unchanged).  The alpha set
+        is typically a small fraction of the scene (foliage), so paying
+        ~130 B/tri of flattened leaf+coefficient data buys: no per-event
+        instance-transform indirection in the drain, no per-instance walk
+        topology duplication, and a GLOBAL world-space SAH that splits
+        between canopies instead of replaying one object-space tree under
+        every instance."""
+        v0w, v1w, v2w, ids = [], [], [], []
+        for i, (mi, _) in enumerate(instances):
+            mask = mesh_alpha_masks[mi]
+            if not mask.any():
+                continue
+            idx = np.nonzero(mask)[0]
+            mv0, mv1, mv2 = mesh_v[mi]
+            r3, t3 = mats3x4[i][:3, :3], mats3x4[i][:3, 3]
+            v0w.append((mv0[idx] @ r3.T + t3).astype(np.float32))
+            v1w.append((mv1[idx] @ r3.T + t3).astype(np.float32))
+            v2w.append((mv2[idx] @ r3.T + t3).astype(np.float32))
+            ids.append((idx + int(tri_base[i])).astype(np.int32))
+        from ..ops.bvh import build_bvh
+
+        leaf = os.environ.get("EIDOLA_ALPHA_LEAF")
+        return build_bvh(
+            np.concatenate(v0w), np.concatenate(v1w), np.concatenate(v2w),
+            prim_ids=np.concatenate(ids), n_tris_global=n_virtual,
+            leaf_size=int(leaf) if leaf else None,
+        )
+
+    alpha_flat = os.environ.get("EIDOLA_ALPHA_FLAT", "0") == "1"
     if any_alpha and not all_alpha:
         bvh = _subset_bvh(False)
-        bvh_alpha = _subset_bvh(True)
+        bvh_alpha = _flat_alpha_bvh() if alpha_flat else _subset_bvh(True)
     else:
         bvh = build_instanced_bvh(mesh_v, instances)
         bvh_alpha = None

@@ -231,3 +231,136 @@ class TestQueueMarchEquivalence:
                                        rtol=1e-6, err_msg=qmode)
             np.testing.assert_array_equal(
                 np.asarray(oq), np.asarray(ol), err_msg=qmode)
+
+
+class TestAlphaCull:
+    """The pre-cull (render/tracer.py _reach_boxes over the frontier cover,
+    EIDOLA_ALPHA_CULL) must be result-invisible: the cover contains all
+    alpha geometry, so a culled ray is provably a miss, and reaching rays
+    traverse identically (the dead-clustered sort is a permutation)."""
+
+    def _scene(self, alpha):
+        quads = []
+        for k in range(3):
+            z = 1.0 + 0.3 * k
+            quads.append(quad_tris([-2, -2, z], [2, -2, z],
+                                   [2, 2, z], [-2, 2, z]))
+        box = box_tris([0, 0, -1.0], [4.5, 4.5, 0.5])
+        tris = np.concatenate(quads + [box])
+        nq = sum(q.shape[0] for q in quads)
+        mats = np.concatenate([
+            np.zeros(nq, np.int32), np.ones(box.shape[0], np.int32)])
+        return upload_scene(
+            tris[:, 0], tris[:, 1], tris[:, 2], mat_ids=mats,
+            materials=[
+                {"base_color": [1, 1, 1, alpha], "alpha_mode": ALPHA_MASK,
+                 "alpha_cutoff": 0.5},
+                {"base_color": [0.5, 0.2, 0.2, 1.0]},
+            ],
+        )
+
+    def test_frontier_is_conservative(self):
+        """Any ray with a real hit must be reached by the cover."""
+        from eidola_tpu.ops.bvh import build_bvh, closest_hit
+        from eidola_tpu.ops.bvh_build import collect_frontier
+        from eidola_tpu.render.tracer import _reach_boxes
+
+        rng = np.random.default_rng(11)
+        c = rng.uniform(-5, 5, (400, 3)).astype(np.float32)
+        v0 = c + rng.normal(0, 0.3, (400, 3)).astype(np.float32)
+        v1 = c + rng.normal(0, 0.3, (400, 3)).astype(np.float32)
+        v2 = c + rng.normal(0, 0.3, (400, 3)).astype(np.float32)
+        bvh = build_bvh(v0, v1, v2)
+        for k in (2, 8, 64):
+            boxes = jnp.asarray(collect_frontier(np.asarray(bvh.walk), k))
+            o = jnp.asarray(rng.uniform(-8, 8, (512, 3)).astype(np.float32))
+            d = rng.normal(size=(512, 3)).astype(np.float32)
+            d /= np.linalg.norm(d, axis=1, keepdims=True)
+            d = jnp.asarray(d)
+            tn, tx = jnp.full(512, 1e-4), jnp.full(512, 1e8)
+            rec = closest_hit(bvh, o, d, tn, tx)
+            reach = _reach_boxes(boxes, o, d, tn, tx)
+            hit = np.asarray(rec.tri) >= 0
+            assert (np.asarray(reach)[hit]).all(), f"false cull at K={k}"
+
+    @pytest.mark.parametrize("alpha", [0.0, 1.0])
+    def test_cull_is_result_invisible(self, monkeypatch, alpha):
+        scene = self._scene(alpha)
+        assert scene.bvh_alpha is not None
+        # mix of rays through the quads and rays that miss them entirely
+        rng_np = np.random.default_rng(3)
+        o = np.tile([0.0, 0.0, 4.0], (128, 1)).astype(np.float32)
+        o[:, 0:2] += rng_np.uniform(-6, 6, (128, 2)).astype(np.float32)
+        d = np.tile([0.0, 0.0, -1.0], (128, 1)).astype(np.float32)
+        o, d = jnp.asarray(o), jnp.asarray(d)
+        rng = erng.seed_pixels(1, 128, jnp.uint32(5))[0]
+        cfg = RenderConfig(width=8, height=16, alpha_geometry=True,
+                           alpha_hops=4, traversal_max_steps=512)
+        out = {}
+        for cull in ("0", "1"):
+            monkeypatch.setenv("EIDOLA_ALPHA_CULL", cull)
+            _, rec = trace_closest(
+                cfg, scene, o, d, jnp.full(128, 1e-4),
+                jnp.full(128, 1e8), rng)
+            _, occ = trace_occlusion(
+                cfg, scene, o, d, jnp.full(128, 1e-4),
+                jnp.full(128, 6.0), rng)
+            out[cull] = (rec, occ)
+        r0, o0 = out["0"]
+        r1, o1 = out["1"]
+        np.testing.assert_array_equal(np.asarray(r1.tri), np.asarray(r0.tri))
+        np.testing.assert_allclose(np.asarray(r1.t), np.asarray(r0.t),
+                                   rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(o1), np.asarray(o0))
+
+
+class TestBandedQueueMarch:
+    """The round-5 band-local queue march must agree with the single-band
+    queue march exactly on MASK scenes (per-band compaction is a
+    permutation of the same per-ray hop sequences)."""
+
+    def test_banded_matches_single(self, monkeypatch):
+        from eidola_tpu.ops.halo import band_context
+
+        quads = []
+        for k in range(3):
+            z = 1.0 + 0.3 * k
+            quads.append(quad_tris([-2, -2, z], [2, -2, z],
+                                   [2, 2, z], [-2, 2, z]))
+        box = box_tris([0, 0, -1.0], [4.5, 4.5, 0.5])
+        tris = np.concatenate(quads + [box])
+        nq = sum(q.shape[0] for q in quads)
+        mats = np.concatenate([
+            np.zeros(nq, np.int32), np.ones(box.shape[0], np.int32)])
+        scene = upload_scene(
+            tris[:, 0], tris[:, 1], tris[:, 2], mat_ids=mats,
+            materials=[
+                {"base_color": [1, 1, 1, 0.0], "alpha_mode": ALPHA_MASK,
+                 "alpha_cutoff": 0.5},
+                {"base_color": [0.5, 0.2, 0.2, 1.0]},
+            ],
+        )
+        R = 1024   # (R/B) % 128 == 0 at B=4 -> the banded path engages
+        rng_np = np.random.default_rng(3)
+        o = np.tile([0.0, 0.0, 4.0], (R, 1)).astype(np.float32)
+        o[:, 0:2] += rng_np.uniform(-4, 4, (R, 2)).astype(np.float32)
+        d = np.tile([0.0, 0.0, -1.0], (R, 1)).astype(np.float32)
+        o, d = jnp.asarray(o), jnp.asarray(d)
+        rng = erng.seed_pixels(1, R, jnp.uint32(5))[0]
+        cfg = RenderConfig(width=8, height=16, alpha_geometry=True,
+                           alpha_hops=4, traversal_max_steps=512)
+        monkeypatch.setenv("EIDOLA_ALPHA_MARCH", "queue")
+        _, rec1 = trace_closest(
+            cfg, scene, o, d, jnp.full(R, 1e-4), jnp.full(R, 1e8), rng)
+        _, occ1 = trace_occlusion(
+            cfg, scene, o, d, jnp.full(R, 1e-4), jnp.full(R, 6.0), rng)
+        with band_context(4):
+            _, rec4 = trace_closest(
+                cfg, scene, o, d, jnp.full(R, 1e-4), jnp.full(R, 1e8), rng)
+            _, occ4 = trace_occlusion(
+                cfg, scene, o, d, jnp.full(R, 1e-4), jnp.full(R, 6.0), rng)
+        np.testing.assert_array_equal(np.asarray(rec4.tri),
+                                      np.asarray(rec1.tri))
+        np.testing.assert_allclose(np.asarray(rec4.t), np.asarray(rec1.t),
+                                   rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(occ4), np.asarray(occ1))

@@ -42,7 +42,10 @@ def main():
         scene, cam = stress_grid(16)
     print(f"tris={int(scene.bvh.n_tris)}")
     W, H = 1920, 1080
-    base = dict(width=W, height=H, max_depth=4, env_mode="sunsky")
+    import numpy as np
+    has_alpha = bool((np.asarray(scene.materials.alpha_mode) != 0).any())
+    base = dict(width=W, height=H, max_depth=4, env_mode="sunsky",
+                alpha_geometry=has_alpha)
 
     cases = {
         "full": RenderConfig(**base),
