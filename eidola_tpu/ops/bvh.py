@@ -96,7 +96,35 @@ def _fused_mt_active() -> bool:
 # +10% frame cost for exact f32 (PERF_NOTES "MT dot precision"); the
 # bf16 error is absorbed by offset_ray epsilons + stochastic accumulation.
 MT_PREC = os.environ.get("EIDOLA_MT_PREC", "default")
+# exact-f32 winner refinement (EIDOLA_REFINE): after the walk, re-intersect
+# each ray's WINNING triangle once with exact f32 Möller-Trumbore and
+# replace (t, u, v).  The bf16 drains (MT_PREC=default) carry ~0.2% mean /
+# 4% max relative hit-t error — orders of magnitude larger than
+# offset_ray's ULP-scale nudge (ops/math.py), so secondary/shadow rays
+# spawned from pos = o + t*d re-hit their own surface: measured cornell
+# mean luminance -67% on TPU vs the CPU-f32 golden
+# (tools/tpu_golden_bisect.py, round 5).  One exact MT per ray is
+# negligible next to the walk, so "auto" turns it on whenever the drains
+# may be inexact (any non-CPU backend); CPU keeps the exact cols drain
+# and skips the extra compile.
+REFINE = os.environ.get("EIDOLA_REFINE", "auto")
 _BIG = 1e30
+
+
+def _refine_active() -> bool:
+    if REFINE == "auto":
+        return jax.default_backend() != "cpu"
+    return REFINE == "1"
+
+
+# any-hit (occlusion) drains skip the bf16 fused kernel and run the exact
+# f32 sign tests instead — see the use_fused comment in _traverse.  "0"
+# restores the bf16 any-kernel for A/Bs (WRONG shadows on TPU).
+ANY_EXACT = os.environ.get("EIDOLA_ANY_EXACT", "1")
+
+
+def _any_exact_active() -> bool:
+    return ANY_EXACT != "0"
 
 
 class BVH(NamedTuple):
@@ -711,6 +739,17 @@ def _traverse(bvh, o, d, t_min, t_max, any_hit: bool, max_steps: int,
                     and SUBW == PACKET
                     and CE % _FEB == 0
                     and getattr(bvh, "leaf_cmat", None) is not None
+                    # occlusion drains must be EXACT: with bf16 coefficient
+                    # dots a shadow ray re-hits its own (or a coplanar
+                    # neighbouring) triangle at |t| ~ 0.4% of the leaf
+                    # extent > t_min, turning lit pixels black (TPU golden
+                    # bisect, round 5: cornell mean luminance -52% from
+                    # false occlusion alone).  Closest-hit keeps the bf16
+                    # MXU drain because the end-of-walk exact re-test
+                    # (EIDOLA_REFINE) repairs the winner's t/u/v; an
+                    # any-hit verdict has no winner to repair, so the
+                    # sign tests themselves must be f32 (_mt_any_cols).
+                    and not (any_hit and _any_exact_active())
                 )
                 if inst is None:
                     dma_row = leaf
@@ -1000,6 +1039,57 @@ def _traverse(bvh, o, d, t_min, t_max, any_hit: bool, max_steps: int,
             )
 
     t_best, tri_slot, u, v = res_t, res_tri, res_u, res_v
+
+    if not any_hit and _refine_active():
+        # exact-f32 re-intersection of the winning triangle (see REFINE):
+        # restores f32 hit params on top of the bf16 drain's search
+        slot = jnp.maximum(tri_slot, 0)
+        leaf_g = slot // leaf_size
+        k_in = slot % leaf_size
+        row_g = leaf_g if inst is None else inst.leaf_mesh_row[leaf_g]
+        Lb = bvh.leaf_blocks.shape[0]
+        blk = bvh.leaf_blocks.reshape(Lb * leaf_size, 12)[
+            row_g * leaf_size + k_in]                  # (n_pkt, PACKET, 12)
+        rox, roy, roz, rdx, rdy, rdz = ox, oy, oz, dx, dy, dz
+        if inst is not None:
+            # same object-space transform the drain used (unnormalized
+            # direction keeps t identical across spaces)
+            xf = inst.inst_inv[inst.leaf_inst[leaf_g]]  # (n_pkt, PACKET, 12)
+            xc = lambda i: xf[..., i]
+            rox, roy, roz = (
+                xc(0) * ox + xc(1) * oy + xc(2) * oz + xc(3),
+                xc(4) * ox + xc(5) * oy + xc(6) * oz + xc(7),
+                xc(8) * ox + xc(9) * oy + xc(10) * oz + xc(11),
+            )
+            rdx, rdy, rdz = (
+                xc(0) * dx + xc(1) * dy + xc(2) * dz,
+                xc(4) * dx + xc(5) * dy + xc(6) * dz,
+                xc(8) * dx + xc(9) * dy + xc(10) * dz,
+            )
+        bb = lambda i: blk[..., i]
+        v0x, v0y, v0z = bb(0), bb(1), bb(2)
+        e1x, e1y, e1z = bb(3), bb(4), bb(5)
+        e2x, e2y, e2z = bb(6), bb(7), bb(8)
+        px = rdy * e2z - rdz * e2y                      # pvec = d x e2
+        py = rdz * e2x - rdx * e2z
+        pz = rdx * e2y - rdy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        inv_det = jnp.where(jnp.abs(det) > 1e-24, 1.0 / det, 0.0)
+        tvx, tvy, tvz = rox - v0x, roy - v0y, roz - v0z
+        u2 = (tvx * px + tvy * py + tvz * pz) * inv_det
+        qx = tvy * e1z - tvz * e1y                      # qvec = tvec x e1
+        qy = tvz * e1x - tvx * e1z
+        qz = tvx * e1y - tvy * e1x
+        v2 = (rdx * qx + rdy * qy + rdz * qz) * inv_det
+        t2 = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+        okr = (
+            (tri_slot >= 0) & (inv_det != 0.0)
+            & jnp.isfinite(t2) & (t2 > 0.0)
+        )
+        t_best = jnp.where(okr, t2, t_best)
+        u = jnp.where(okr, u2, u)
+        v = jnp.where(okr, v2, v)
+
     stats = (
         {"events": ev_total, "chunks": chunks, "steps": step,
          "rounds": rounds, "live_steps": live_steps}

@@ -135,9 +135,12 @@ def _alpha_march(scene: SceneData, hop_bvh, o, d, a_tmax, rec0, rng_state,
     if not (B > 1 and R % B == 0 and (R // B) % 128 == 0):
         B = 1
     Rl = R // B
-    # queue capacity: ~R/EIDOLA_MARCH_DIV rounded to packets (measured
-    # foliage-hit fractions are well below 1/8; overflow = another lap)
-    div = int(os.environ.get("EIDOLA_MARCH_DIV", "8"))
+    # queue capacity: ~R/EIDOLA_MARCH_DIV rounded to packets; overflow =
+    # another lap.  DIV=16 + MARCH_MIN=8192 is the measured v5-lite
+    # optimum of the staged-capacity sweep (PERF_NOTES round 5: full
+    # trace 767->737 / 890->816 ms vs DIV=8, and DIV=6's one-big-lap
+    # loses): laps ride the live count down instead of paying R/8 width.
+    div = int(os.environ.get("EIDOLA_MARCH_DIV", "16"))
     frac = -(-Rl // div)
     C = int(min(Rl, max(32768 // B if B > 1 else 32768,
                         -(-frac // 128) * 128)))
@@ -178,7 +181,8 @@ def _alpha_march(scene: SceneData, hop_bvh, o, d, a_tmax, rec0, rng_state,
         occluded = jnp.zeros((Rl,), bool)
 
         caps = [C]
-        cmin = min(C, max(2048, 32768 // B))
+        cmin = min(C, max(2048, int(
+            os.environ.get("EIDOLA_MARCH_MIN", "8192")) // B))
         while caps[-1] > cmin and len(caps) < 3:
             caps.append(max(-(-(caps[-1] // 4) // 128) * 128, cmin))
 

@@ -747,7 +747,10 @@ def upload_scene_instanced(
             leaf_size=int(leaf) if leaf else None,
         )
 
-    alpha_flat = os.environ.get("EIDOLA_ALPHA_FLAT", "0") == "1"
+    # measured on v5 lite (PERF_NOTES round 5): the flat world-space alpha
+    # BVH beats the grafted instanced walk 354 -> 300 ms on the mandatory
+    # alpha closest-hit at ~370 MB HBM for Bistro-scale foliage tables
+    alpha_flat = os.environ.get("EIDOLA_ALPHA_FLAT", "1") == "1"
     if any_alpha and not all_alpha:
         bvh = _subset_bvh(False)
         bvh_alpha = _flat_alpha_bvh() if alpha_flat else _subset_bvh(True)

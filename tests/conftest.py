@@ -17,7 +17,13 @@ run minutes, so
 """
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# EIDOLA_TEST_TPU=1 leaves the platform on the real TPU tunnel so the
+# hardware-path statistical goldens (tests/test_tpu_golden.py) can run;
+# everything else in the suite still passes there, just slowly — the
+# intended use is `EIDOLA_TEST_TPU=1 pytest tests/test_tpu_golden.py`.
+_TPU_SUITE = os.environ.get("EIDOLA_TEST_TPU") == "1"
+if not _TPU_SUITE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 # Drain chunk size dominates XLA:CPU compile time (the unrolled segmented
 # prefix-min network scales with log2(CHUNK) x CHUNK-row tensors): one
 # traversal compile measured 316 s at the TPU-tuned 4096 vs 40 s at 256,
@@ -34,7 +40,11 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_SUITE:
+    jax.config.update("jax_platforms", "cpu")
+else:
+    # keep the TPU-tuned drain chunking on hardware
+    os.environ["EIDOLA_CHUNK"] = os.environ.get("EIDOLA_CHUNK_TPU", "4096")
 
 _CACHE = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache")
 try:

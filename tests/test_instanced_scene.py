@@ -283,7 +283,13 @@ class TestInstancedSplit:
         # virtual tri numbering covers both instances' full meshes
         n_virtual = 2 * m["v0"].shape[0]
         assert int(split.bvh.n_tris) == n_virtual
-        assert int(split.bvh_alpha.n_tris) == n_virtual
+        # the alpha half may be the FLAT world-space BVH (default,
+        # EIDOLA_ALPHA_FLAT): physical tri count = flattened alpha set,
+        # ids still reported in the shared virtual numbering via
+        # slot_of_tri sized n_virtual.  The subset-instanced variant
+        # keeps the full virtual count.
+        n_alpha_flat = 2 * int((np.asarray(m["mat_ids"]) == 1).sum())
+        assert int(split.bvh_alpha.n_tris) in (n_alpha_flat, n_virtual)
         s_op = np.asarray(split.bvh.slot_of_tri)
         s_al = np.asarray(split.bvh_alpha.slot_of_tri)
         assert s_op.shape[0] == n_virtual and s_al.shape[0] == n_virtual
