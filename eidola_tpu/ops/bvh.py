@@ -117,14 +117,31 @@ def _refine_active() -> bool:
     return REFINE == "1"
 
 
-# any-hit (occlusion) drains skip the bf16 fused kernel and run the exact
-# f32 sign tests instead — see the use_fused comment in _traverse.  "0"
-# restores the bf16 any-kernel for A/Bs (WRONG shadows on TPU).
-ANY_EXACT = os.environ.get("EIDOLA_ANY_EXACT", "1")
+# any-hit (occlusion) drains must be EXACT on TPU (bf16 sign tests falsely
+# occlude coplanar/self geometry — see the use_fused comment in _traverse).
+# EIDOLA_ANY_EXACT picks HOW:
+#   "fused" (default) — keep the fused MXU kernel but run its coefficient
+#       dot at Precision.HIGHEST over an f32 table (the 6-pass bf16
+#       decomposition is f32-exact); requires _cm_dtype() == f32, which
+#       bvh_fused forces when this mode is active.  Measured round 5:
+#       the cols fallback cost ~2.9x more per occlusion drain.
+#   "cols" / "1"   — exact f32 VPU sign tests (_mt_any_cols): the
+#       portable oracle; gathers full leaf rows per event (3 KB at
+#       leaf 64) and unrolls leaf_size triangles on the VPU.
+#   "0"            — bf16 fused any-kernel (WRONG shadows on TPU; A/B only).
+ANY_EXACT = os.environ.get("EIDOLA_ANY_EXACT", "fused")
 
 
 def _any_exact_active() -> bool:
     return ANY_EXACT != "0"
+
+
+def _any_exact_fused() -> bool:
+    """Exact any-hit satisfied INSIDE the fused kernel: either the global
+    precision is already highest (f32 table + 6-pass dot everywhere), or
+    the fused-exact mode is on (f32 table, HIGHEST passed per any-hit
+    call while closest drains keep the fast DEFAULT dot)."""
+    return MT_PREC == "highest" or ANY_EXACT == "fused"
 
 
 class BVH(NamedTuple):
@@ -747,9 +764,15 @@ def _traverse(bvh, o, d, t_min, t_max, any_hit: bool, max_steps: int,
                     # false occlusion alone).  Closest-hit keeps the bf16
                     # MXU drain because the end-of-walk exact re-test
                     # (EIDOLA_REFINE) repairs the winner's t/u/v; an
-                    # any-hit verdict has no winner to repair, so the
-                    # sign tests themselves must be f32 (_mt_any_cols).
-                    and not (any_hit and _any_exact_active())
+                    # any-hit verdict has no winner to repair, so its
+                    # sign tests must be f32-exact — either inside the
+                    # fused kernel (f32 table + HIGHEST 6-pass dot,
+                    # _any_exact_fused) or via the VPU cols fallback.
+                    and not (any_hit and _any_exact_active()
+                             and not (_any_exact_fused()
+                                      and bvh.leaf_cmat is not None
+                                      and bvh.leaf_cmat.dtype
+                                      == jnp.float32))
                 )
                 if inst is None:
                     dma_row = leaf
@@ -796,11 +819,15 @@ def _traverse(bvh, o, d, t_min, t_max, any_hit: bool, max_steps: int,
                         from .bvh_fused import mt_any_fused
 
                         anchor_row = bvh.leaf_anchor[dma_row]      # (CE, 3)
+                        # exact sign tests: 6-pass HIGHEST dot over the
+                        # f32 table when the global default dot is bf16
+                        aprec = (jax.lax.Precision.HIGHEST
+                                 if _any_exact_active() else None)
                         hit_e = mt_any_fused(
                             bvh.leaf_cmat, anchor_row, dma_row, sp,
                             valid.astype(jnp.int32),
                             gox, goy, goz, gdx, gdy, gdz, gtmin, gtb,
-                            leaf_size,
+                            leaf_size, prec=aprec,
                         ) > 0
                     else:
                         col = lambda i: expand_ev(row[:, i])

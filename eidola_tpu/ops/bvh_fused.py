@@ -79,12 +79,21 @@ _CMAT = os.environ.get("EIDOLA_CMAT", "auto")
 def _cm_dtype():
     """Storage dtype of the static coefficient table — keyed off the
     import-frozen _MT_PREC_STR/_CMAT (tests may monkeypatch the module
-    attributes to exercise the bf16 path in interpret mode)."""
+    attributes to exercise the bf16 path in interpret mode).  The
+    fused-exact any-hit mode (EIDOLA_ANY_EXACT=fused, ops/bvh.py) needs
+    full f32 inputs for its HIGHEST 6-pass dot, so it forces f32 too —
+    the closest drain's DEFAULT dot rounds them to bf16 on the MXU
+    anyway (bit-identical results, table bytes double: measured
+    speed-neutral, PERF_NOTES 'bf16 MT coefficient table')."""
+    from .bvh import ANY_EXACT as _AE
+
     if _MT_PREC_STR == "highest":
         return jnp.float32
     if _CMAT == "bf16":
+        # explicit override (tests/A-Bs): the drain-site dtype guard in
+        # ops/bvh.py sends any-hit to the cols fallback in this pairing
         return jnp.bfloat16
-    if _CMAT == "f32":
+    if _CMAT == "f32" or _AE == "fused":
         return jnp.float32
     return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
 
@@ -136,7 +145,7 @@ def build_leaf_tables_np(blocks: np.ndarray, leaf_size: int):
     return cmT, anchor.astype(np.float32)
 
 
-def _kernel(n, row_ref, leaf_ref, sp_ref, valid_ref, cm_hbm,
+def _kernel(n, prec, row_ref, leaf_ref, sp_ref, valid_ref, cm_hbm,
             opx, opy, opz, dxr, dyr, dzr, tmin_ref, tlim_ref,
             t_out, s_out, u_out, v_out,
             cm_buf, sems, c_t, c_s, c_u, c_v, seg):
@@ -182,7 +191,7 @@ def _kernel(n, row_ref, leaf_ref, sp_ref, valid_ref, cm_hbm,
         )                                            # (K, 128)
         out = jax.lax.dot_general(
             cmT, fe.astype(cmT.dtype), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_PREC,
+            preferred_element_type=jnp.float32, precision=prec,
         )                                            # (4n, 128)
         det = out[0 * n:1 * n]
         tn = out[1 * n:2 * n]
@@ -242,12 +251,13 @@ def _kernel(n, row_ref, leaf_ref, sp_ref, valid_ref, cm_hbm,
         seg[0] = jnp.where(val, sp_e, prev)
 
 
-def _kernel_any(n, row_ref, sp_ref, valid_ref, cm_hbm,
+def _kernel_any(n, prec, row_ref, sp_ref, valid_ref, cm_hbm,
                 opx, opy, opz, dxr, dyr, dzr, tmin_ref, tlim_ref,
                 h_out, cm_buf, sems, c_h, seg):
     """Occlusion variant: sign-based boolean MT (no divides — tests
     multiplied through by det/det^2 like ops/bvh._mt_any_cols) with a
-    1-channel prefix-OR carry."""
+    1-channel prefix-OR carry.  `prec` overrides the module default dot
+    precision (HIGHEST + f32 table = exact sign tests)."""
     i = pl.program_id(0)
     nsteps = pl.num_programs(0)
 
@@ -290,7 +300,7 @@ def _kernel_any(n, row_ref, sp_ref, valid_ref, cm_hbm,
         )
         out = jax.lax.dot_general(
             cmT, fe.astype(cmT.dtype), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_PREC,
+            preferred_element_type=jnp.float32, precision=prec,
         )
         det = out[0 * n:1 * n]
         tn = out[1 * n:2 * n]
@@ -326,9 +336,14 @@ def _kernel_any(n, row_ref, sp_ref, valid_ref, cm_hbm,
 
 
 def mt_any_fused(cm_tab, anchor_row, dma_row, sp, valid,
-                 gox, goy, goz, gdx, gdy, gdz, gtmin, gtb, n_tris: int):
+                 gox, goy, goz, gdx, gdy, gdz, gtmin, gtb, n_tris: int,
+                 prec=None):
     """Occlusion drain: returns per-row PREFIX-OR'd hit flags (CE, 128)
-    i32 — run-end rows hold each sub-packet's chunk OR."""
+    i32 — run-end rows hold each sub-packet's chunk OR.  prec=HIGHEST
+    (with an f32 cm_tab) makes the sign tests f32-exact while closest
+    drains keep the module-default dot."""
+    if prec is None:
+        prec = _PREC
     ce = gox.shape[0]
     lanes = gox.shape[1]
     assert ce % EB == 0, ce
@@ -352,7 +367,7 @@ def mt_any_fused(cm_tab, anchor_row, dma_row, sp, valid,
         ],
     )
     (h,) = pl.pallas_call(
-        functools.partial(_kernel_any, n_tris),
+        functools.partial(_kernel_any, n_tris, prec),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((ce, lanes), jnp.int32)],
         interpret=jax.default_backend() == "cpu",
@@ -365,13 +380,16 @@ def mt_any_fused(cm_tab, anchor_row, dma_row, sp, valid,
 
 
 def mt_fused(cm_tab, anchor_row, dma_row, gleaf, sp, valid,
-             gox, goy, goz, gdx, gdy, gdz, gtmin, gtb, n_tris: int):
+             gox, goy, goz, gdx, gdy, gdz, gtmin, gtb, n_tris: int,
+             prec=None):
     """Per-chunk fused drain.  cm_tab: (L, KDIM, 4n) static table;
     anchor_row: (CE, 3) gathered anchors; dma_row/gleaf/sp/valid: (CE,)
     i32 (DMA row, global leaf id, sub-packet id, validity); rays/bounds:
     (CE, 128) with rays in the leaf's intersection space.  Returns
     per-row PREFIX-FOLDED (t, global slot, u, v) — run-end rows hold each
     sub-packet's chunk best, exactly like the XLA scan's output."""
+    if prec is None:
+        prec = _PREC
     ce = gox.shape[0]
     lanes = gox.shape[1]
     assert ce % EB == 0, ce
@@ -407,7 +425,7 @@ def mt_fused(cm_tab, anchor_row, dma_row, gleaf, sp, valid,
         jax.ShapeDtypeStruct((ce, lanes), jnp.float32),
     ]
     return pl.pallas_call(
-        functools.partial(_kernel, n_tris),
+        functools.partial(_kernel, n_tris, prec),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=jax.default_backend() == "cpu",

@@ -46,7 +46,16 @@ else:
     # keep the TPU-tuned drain chunking on hardware
     os.environ["EIDOLA_CHUNK"] = os.environ.get("EIDOLA_CHUNK_TPU", "4096")
 
-_CACHE = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache")
+# CPU suite entries live in their OWN cache namespace: sharing
+# .jax_cache with the TPU bench/tools risks one side tripping over a
+# truncated entry written by an interrupted process on the other (a
+# corrupt zstd payload segfaults jaxlib's cache read — observed round 5
+# at test_full_pipeline_runs_finite), and purging one side's cache then
+# costs the other side its multi-minute compiles.
+_CACHE = os.path.join(
+    os.path.dirname(os.path.dirname(__file__)),
+    ".jax_cache" if _TPU_SUITE else ".jax_cache_cpu",
+)
 try:
     jax.config.update("jax_compilation_cache_dir", _CACHE)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

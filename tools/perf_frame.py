@@ -61,6 +61,11 @@ def main():
         "depth1_indirect": RenderConfig(**{**base, "max_depth": 1}),
         "no_tiled_mb": RenderConfig(**base, tiled_multibounce=False),
         "primary_seed": RenderConfig(**base, primary_seed=True),
+        "no_mips": RenderConfig(**base, texture_mips=False),
+        "di_restir_none": RenderConfig(
+            **base, indirect_enabled=False, denoise=False,
+            restir_mode=RESTIR_NONE, ris_sample_num=1,
+        ),
     }
     which = sys.argv[1:] or list(cases)
     for name in which:
